@@ -1,0 +1,21 @@
+"""Test config: CPU backend with 8 virtual devices (multi-chip sharding tests)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the global env pins axon
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# persistent compilation cache: identical jaxprs compile once across runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
+
+import random
+
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return random.Random(1234)

@@ -1,0 +1,139 @@
+"""ECDSA conformance: RFC 6979 vectors, sign/verify round-trips, recovery,
+and the full Wycheproof suites extracted from the reference blobs
+(runner semantics match k256/src/ecdsa.rs:351-425: parse strict DER, normalize
+s for k256, verify)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tpu_ecc.curves.specs import get_curve
+from tpu_ecc.encoding import der
+from tpu_ecc.protocols import ecdsa
+from tpu_ecc.utils import ec_host as H
+
+VEC_DIR = os.path.join(os.path.dirname(__file__), "vectors")
+
+
+def test_rfc6979_p256():
+    """RFC 6979 A.2.5 (P-256, SHA-256) — same vectors as p256/src/ecdsa.rs:96-110."""
+    c = get_curve("p256")
+    x = 0xC9AFA9D845BA75166B5C215767B1D6934E50C3DB36E89B127B8A622B120F6721
+    sk = ecdsa.SigningKey(c, x)
+    digest = ecdsa.hash_msg(c, b"sample")
+    r, s, _ = sk.sign_prehash(digest)
+    assert f"{r:064x}" == "efd48b2aacb6a8fd1140dd9cd45e81d69d2c877b56aaf991c34d0ea84eaf3716"
+    assert f"{s:064x}" == "f7cb1c942d657c41d436c7a1b6e29f65f3e900dbb9aff4064dc4ab2f843acda8"
+    r, s, _ = sk.sign_prehash(ecdsa.hash_msg(c, b"test"))
+    assert f"{r:064x}" == "f1abb023518351cd71d881567b1ea663ed3efcf6c5132b354f28d3b0b7d38367"
+    assert f"{s:064x}" == "019f4113742a2b14bd25926b49c649155f267e60d3814b4c0cc84250e46f0083"
+
+
+def test_rfc6979_k_generation():
+    """RFC 6979 A.1.1 reference k for the sample q/x (sanity of the DRBG)."""
+    from tpu_ecc.protocols import rfc6979
+    import hashlib
+
+    q = 0x4000000000000000000020108A2E0CC0D99F8A5EF
+    x = 0x09A4D6792295A7F730FC3F2B49CBC0F62E862272F
+    h1 = hashlib.sha256(b"sample").digest()
+    k = rfc6979.generate_k(q, x, h1, "sha256")
+    assert k == 0x23AF4074C90A02B3FE61D286D5C87F425E6BDD81B
+
+
+@pytest.mark.parametrize("name", ["secp256k1", "p256", "p384"])
+def test_sign_verify_roundtrip_batch(name, rng):
+    c = get_curve(name)
+    B = 4
+    ds = [rng.randrange(1, c.n) for _ in range(B)]
+    zs = [rng.randrange(c.n) for _ in range(B)]
+    sigs = ecdsa.sign_batch(c, ds, zs)
+    pubs = [H.aff_mul(c, d, H.aff_generator(c)) for d in ds]
+    oks = ecdsa.verify_batch(c, pubs, zs, [(r, s) for r, s, _ in sigs])
+    assert oks == [True] * B
+    # wrong z fails
+    bad = ecdsa.verify_batch(c, pubs, [(z + 1) % c.n for z in zs],
+                             [(r, s) for r, s, _ in sigs])
+    assert bad == [False] * B
+    # host-oracle cross-check of the signature equation
+    for d, z, (r, s, _) in zip(ds, zs, sigs):
+        k_check = (pow(s, -1, c.n) * (z + r * d)) % c.n
+        R = H.aff_mul(c, k_check, H.aff_generator(c))
+        assert R[0] % c.n == r
+
+
+def test_recovery_k256(rng):
+    c = get_curve("secp256k1")
+    d = rng.randrange(1, c.n)
+    z = rng.randrange(c.n)
+    (r, s, recid), = ecdsa.sign_batch(c, [d], [z])
+    Q = H.aff_mul(c, d, H.aff_generator(c))
+    assert ecdsa.recover_public_key(c, z, r, s, recid) == Q
+
+
+def _run_wycheproof(name, batch=64):
+    c = get_curve(name)
+    vecs = json.load(open(os.path.join(VEC_DIR, f"wycheproof_{name}.json")))
+    low_s = name in ecdsa.LOW_S_CURVES
+    items = []
+    results = {}
+    for i, v in enumerate(vecs):
+        wx, wy = int(v["wx"], 16), int(v["wy"], 16)
+        msg = bytes.fromhex(v["msg"])
+        if wx >= c.p or wy >= c.p or not H.on_curve(c, (wx, wy)):
+            results[i] = False
+            continue
+        try:
+            r, s = der.der_to_sig(bytes.fromhex(v["sig"]))
+        except der.DerError:
+            results[i] = False
+            continue
+        if low_s and s > c.n // 2:
+            s = c.n - s  # normalize_s like the k256 runner
+        if not (0 < r < c.n and 0 < s < c.n):
+            results[i] = False
+            continue
+        z = ecdsa.digest_to_z(c, ecdsa.hash_msg(c, msg))
+        items.append((i, (wx, wy), z, (r, s)))
+    # batched device verification
+    for start in range(0, len(items), batch):
+        chunk = items[start: start + batch]
+        oks = ecdsa.verify_batch(
+            c, [it[1] for it in chunk], [it[2] for it in chunk],
+            [it[3] for it in chunk], low_s=False)
+        for (i, *_), ok in zip(chunk, oks):
+            results[i] = ok
+    fails = [
+        i for i, v in enumerate(vecs) if results[i] != v["ok"]
+    ]
+    assert not fails, f"{name}: {len(fails)} wycheproof mismatches, e.g. {fails[:5]}"
+
+
+@pytest.mark.parametrize("name", ["secp256k1", "p256"])
+def test_wycheproof(name):
+    _run_wycheproof(name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["p224", "p384", "p521"])
+def test_wycheproof_slow(name):
+    _run_wycheproof(name)
+
+
+def test_der_strictness():
+    # round-trip
+    b = der.sig_to_der(1, 2)
+    assert der.der_to_sig(b) == (1, 2)
+    big = (1 << 255) | 5
+    assert der.der_to_sig(der.sig_to_der(big, big)) == (big, big)
+    for bad in [
+        b"", b"\x30", b"\x30\x00", b"\x31\x06\x02\x01\x01\x02\x01\x02",
+        der.sig_to_der(1, 2) + b"\x00",                       # trailing
+        b"\x30\x06\x02\x01\x01\x02\x01",                      # truncated int
+        b"\x30\x08\x02\x02\x00\x01\x02\x02\x00\x02",          # non-minimal int
+        b"\x30\x81\x06\x02\x01\x01\x02\x01\x02",              # non-minimal len
+    ]:
+        with pytest.raises(der.DerError):
+            der.der_to_sig(bad)

@@ -1,0 +1,127 @@
+"""Point-layer tests: RCB formulas vs the host-int oracle + reference vectors.
+
+Mirrors the reference's macro-generated projective tests
+(primeorder/src/dev.rs:7-157) using the extracted ADD_TEST_VECTORS (k*G for
+k = 1..20) from each curve's test_vectors/group.rs.
+
+Expected points are checked *projectively* (X == wx*Z etc.) so no inversions
+bloat the jitted graphs.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_ecc.curves.specs import get_curve, list_curves
+from tpu_ecc.ops import fe as F
+from tpu_ecc.ops import points as P
+from tpu_ecc.utils import ec_host as H
+
+VEC_DIR = os.path.join(os.path.dirname(__file__), "vectors")
+CURVES = list_curves()
+
+
+def proj_matches(pt: P.Point, want_affine) -> jax.Array:
+    """Check pt == affine(wx, wy) without inverting: X=wx*Z, Y=wy*Z, Z!=0."""
+    c = pt.curve
+    wx = F.fe_from_int(c.field, want_affine[0], pt.batch_shape)
+    wy = F.fe_from_int(c.field, want_affine[1], pt.batch_shape)
+    okx = F.feq(pt.x, F.fmul(wx, pt.z))
+    oky = F.feq(pt.y, F.fmul(wy, pt.z))
+    return okx & oky & jnp.logical_not(P.is_identity(pt))
+
+
+@pytest.mark.parametrize("name", CURVES)
+def test_add_double_chain(name):
+    """2G/3G/4G via double, add, mixed-add; identity laws; on-curve."""
+    c = get_curve(name)
+    G = H.aff_generator(c)
+    w2, w3, w4 = (H.aff_mul(c, k, G) for k in (2, 3, 4))
+    g = P.generator(c, (2,))
+
+    @jax.jit
+    def f(g):
+        g2 = P.pdouble(g)
+        g3 = P.padd(g2, g)
+        g3m = P.padd_mixed(g2, g.x, g.y)
+        g4 = P.pdouble(g2)
+        idt = P.identity(c, (2,))
+        return (
+            proj_matches(g2, w2), proj_matches(g3, w3),
+            proj_matches(g3m, w3), proj_matches(g4, w4),
+            P.on_curve(g3),
+            P.peq(P.padd(g, idt), g),          # P + O = P
+            P.peq(P.padd(idt, g), g),          # O + P = P
+            P.peq(P.padd(g, P.pneg(g)), idt),  # P - P = O
+            P.is_identity(P.pdouble(idt)),     # 2O = O
+            P.padd(g, g),                      # complete: add(P, P) = 2P
+        )
+
+    *conds, gg = f(g)
+    for i, cond in enumerate(conds):
+        assert np.asarray(cond).all(), f"{name}: cond {i}"
+    # complete addition handles P+P
+    chk = jax.jit(lambda q: proj_matches(q, w2))(gg)
+    assert np.asarray(chk).all(), f"{name}: add(P,P)"
+
+
+@pytest.mark.parametrize("name", CURVES)
+def test_add_vectors(name):
+    """Repeated-addition chain vs reference ADD_TEST_VECTORS (or host oracle)."""
+    c = get_curve(name)
+    path = os.path.join(VEC_DIR, f"group_{name}.json")
+    if os.path.exists(path):
+        vec = json.load(open(path))["add"]
+        want = [(int(v["x"], 16), int(v["y"], 16)) for v in vec]
+    else:
+        G = H.aff_generator(c)
+        want = [H.aff_mul(c, k, G) for k in range(1, 21)]
+    n = len(want)
+    g = P.generator(c, (1,))
+
+    @jax.jit
+    def chain(g):
+        acc = g
+        oks = []
+        for k in range(n):
+            oks.append(proj_matches(acc, want[k]))
+            if k + 1 < n:
+                acc = P.padd_mixed(acc, g.x, g.y)
+        return jnp.stack(oks)
+
+    oks = np.asarray(chain(g))
+    assert oks.all(), f"{name}: first bad k={1 + int(np.argmin(oks.all(1)))}"
+
+
+def test_mixed_add_identity_mask():
+    c = get_curve("secp256k1")
+    g = P.generator(c, (3,))
+
+    @jax.jit
+    def f(g):
+        mask = np.array([False, True, False])
+        out = P.padd_mixed(g, g.x, g.y, q_identity=mask)
+        g2 = P.pdouble(g)
+        return P.peq(out, P.pselect(mask, g, g2))
+
+    assert np.asarray(f(g)).all()
+
+
+def test_to_affine_and_batch():
+    c = get_curve("secp256k1")
+    G = H.aff_generator(c)
+    g = P.generator(c, (2,))
+
+    @jax.jit
+    def f(g):
+        g3 = P.padd(P.pdouble(g), g)
+        return P.to_affine(g3)
+
+    x, y, inf = f(g)
+    w = H.aff_mul(c, 3, G)
+    assert F.fe_to_ints(x) == [w[0]] * 2 and F.fe_to_ints(y) == [w[1]] * 2
+    assert not np.asarray(inf).any()

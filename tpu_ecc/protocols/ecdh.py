@@ -1,0 +1,85 @@
+"""ECDH: batched device core + host EphemeralSecret API.
+
+Mirrors elliptic_curve::ecdh (re-exported by k256/src/ecdh.rs): the shared
+secret is the affine x-coordinate of d * Q_peer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import hashlib
+
+import jax
+import numpy as np
+
+from ..curves.specs import CurveSpec, get_curve
+from ..encoding import sec1
+from ..utils import ec_host
+from ..utils.bigint import int_to_be_bytes
+from ..ops import fe as F
+from ..ops import points as P
+from ..ops import scalarmul as SM
+
+
+@functools.lru_cache(maxsize=None)
+def _dh_core(curve: CurveSpec):
+    @jax.jit
+    def core(qx, qy, d_raw):
+        Q = P.from_affine(curve, qx, qy)
+        S = SM.scalar_mul(Q, d_raw)
+        x, _, inf = P.to_affine(S)
+        return F.fto_raw_canonical(x), inf
+
+    return core
+
+
+def diffie_hellman_batch(curve: CurveSpec, d_ints, peer_pts):
+    """Batched raw ECDH -> list of shared-secret x-coordinates (ints)."""
+    qx = F.fe_from_ints(curve.field, [q[0] for q in peer_pts])
+    qy = F.fe_from_ints(curve.field, [q[1] for q in peer_pts])
+    d_raw = SM.pack_scalars(curve, d_ints)
+    xs, inf = _dh_core(curve)(qx, qy, d_raw)
+    assert not np.asarray(inf).any(), "ECDH with identity result"
+    from ..utils.bigint import limbs_np_to_ints
+    return limbs_np_to_ints(np.asarray(jax.device_get(xs)),
+                            curve.field.limb_bits)
+
+
+@dataclasses.dataclass
+class EphemeralSecret:
+    """elliptic_curve::ecdh::EphemeralSecret analogue (host single-shot)."""
+
+    curve: CurveSpec
+    d: int
+
+    @classmethod
+    def random(cls, curve_name: str, rng) -> "EphemeralSecret":
+        c = get_curve(curve_name)
+        return cls(c, rng.randrange(1, c.n))
+
+    def public_key(self):
+        return ec_host.aff_mul(self.curve, self.d, ec_host.aff_generator(self.curve))
+
+    def public_key_bytes(self, compress: bool = True) -> bytes:
+        return sec1.encode_point(self.curve, self.public_key(), compress)
+
+    def diffie_hellman(self, peer_pt) -> "SharedSecret":
+        (x,) = diffie_hellman_batch(self.curve, [self.d], [peer_pt])
+        return SharedSecret(self.curve, int_to_be_bytes(x, self.curve.field_bytes))
+
+
+@dataclasses.dataclass
+class SharedSecret:
+    curve: CurveSpec
+    raw: bytes
+
+    def raw_secret_bytes(self) -> bytes:
+        return self.raw
+
+    def extract(self, hashname: str = "sha256", salt: bytes = b"") -> bytes:
+        """HKDF-extract, as elliptic_curve::ecdh::SharedSecret::extract."""
+        import hmac
+
+        return hmac.new(salt or b"\x00" * hashlib.new(hashname).digest_size,
+                        self.raw, hashname).digest()

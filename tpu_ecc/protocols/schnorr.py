@@ -1,0 +1,183 @@
+"""Schnorr signatures (BIP 340), secp256k1 only — like k256's `schnorr` module.
+
+Host: tagged hashes, nonce derivation, x-only key handling
+(k256/src/schnorr.rs:88-176). Device: the batched verify lincomb
+s*G - e*P (schnorr/verifying.rs:62-110) and batched sign R = k*G.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import hashlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves.specs import CurveSpec, get_curve
+from ..utils import ec_host
+from ..utils.bigint import int_to_be_bytes, be_bytes_to_int, limbs_np_to_ints
+from ..ops import fe as F
+from ..ops import points as P
+from ..ops import scalarmul as SM
+
+
+def tagged_hash(tag: str, data: bytes) -> bytes:
+    th = hashlib.sha256(tag.encode()).digest()
+    return hashlib.sha256(th + th + data).digest()
+
+
+def lift_x(curve: CurveSpec, x: int):
+    """BIP340 lift_x: point with given x and even y, or None."""
+    if not 0 < x < curve.p:
+        return None
+    pt = ec_host.decompress(curve, x, False)
+    return pt
+
+
+# ---------------------------------------------------------------------------
+# batched device cores
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _sign_core(curve: CurveSpec):
+    @jax.jit
+    def core(k_raw):
+        R = SM.mul_by_generator(curve, k_raw)
+        x, y, _ = P.to_affine(R)
+        xr = F.fto_raw_canonical(x)
+        yr = F.fto_raw_canonical(y)
+        return xr, (yr[0] & np.uint32(1)) == 1
+
+    return core
+
+
+@functools.lru_cache(maxsize=None)
+def _verify_core(curve: CurveSpec):
+    @jax.jit
+    def core(px, py, s_raw, ne_raw, r_f):
+        """R = s*G - e*P; valid iff R affine-x == r and y(R) even."""
+        Pp = P.from_affine(curve, px, py)
+        G = P.generator(curve, px.batch_shape)
+        R = SM.lincomb([(G, s_raw), (Pp, ne_raw)])
+        x, y, inf = P.to_affine(R)
+        okx = F.feq(x, r_f)
+        y_even = (F.fto_raw_canonical(y)[0] & np.uint32(1)) == 0
+        return jnp.logical_not(inf) & okx & y_even
+
+    return core
+
+
+def sign_batch(curve: CurveSpec, d_ints, msgs, aux_rands):
+    """Batched BIP340 sign. Returns list of 64-byte signatures."""
+    n, fb = curve.n, curve.field_bytes
+    G = ec_host.aff_generator(curve)
+    d_adj, pxs, ks = [], [], []
+    for d, msg, aux in zip(d_ints, msgs, aux_rands):
+        Pt = ec_host.aff_mul(curve, d, G)
+        dd = d if Pt[1] % 2 == 0 else n - d
+        px = int_to_be_bytes(Pt[0], fb)
+        t = dd ^ be_bytes_to_int(tagged_hash("BIP0340/aux", aux))
+        rand = tagged_hash("BIP0340/nonce",
+                           int_to_be_bytes(t, 32) + px + msg)
+        k = be_bytes_to_int(rand) % n
+        assert k != 0
+        d_adj.append(dd)
+        pxs.append(px)
+        ks.append(k)
+    # R = k*G batched on device; flip k for odd-y R
+    k_raw = SM.pack_scalars(curve, ks)
+    rx_l, y_odd = _sign_core(curve)(k_raw)
+    rxs = limbs_np_to_ints(np.asarray(jax.device_get(rx_l)),
+                           curve.field.limb_bits)
+    y_odd = np.asarray(y_odd)
+    sigs = []
+    es, kk = [], []
+    for i, (dd, px, k) in enumerate(zip(d_adj, pxs, ks)):
+        kf = n - k if y_odd[i] else k
+        rb = int_to_be_bytes(rxs[i], fb)
+        e = be_bytes_to_int(tagged_hash("BIP0340/challenge",
+                                        rb + px + msgs[i])) % n
+        s = (kf + e * dd) % n
+        sigs.append(rb + int_to_be_bytes(s, fb))
+    return sigs
+
+
+def verify_batch(curve: CurveSpec, px_ints, msgs, sigs):
+    """Batched BIP340 verify. Returns list[bool]."""
+    n, p, fb = curve.n, curve.p, curve.field_bytes
+    pre_ok, pts, ss, nes, rs = [], [], [], [], []
+    for px, msg, sig in zip(px_ints, msgs, sigs):
+        ok = len(sig) == 2 * fb
+        pt = lift_x(curve, px) if ok else None
+        r = be_bytes_to_int(sig[:fb]) if ok else 1
+        s = be_bytes_to_int(sig[fb:]) if ok else 1
+        ok = ok and pt is not None and r < p and s < n
+        if ok:
+            e = be_bytes_to_int(tagged_hash(
+                "BIP0340/challenge",
+                sig[:fb] + int_to_be_bytes(px, fb) + msg)) % n
+        else:
+            pt, r, s, e = ec_host.aff_generator(curve), 1, 1, 0
+        pre_ok.append(ok)
+        pts.append(pt)
+        ss.append(s)
+        nes.append((n - e) % n)
+        rs.append(r)
+    qx = F.fe_from_ints(curve.field, [q[0] for q in pts])
+    qy = F.fe_from_ints(curve.field, [q[1] for q in pts])
+    s_raw = SM.pack_scalars(curve, ss)
+    ne_raw = SM.pack_scalars(curve, nes)
+    r_f = F.fe_from_ints(curve.field, rs)
+    ok = np.asarray(_verify_core(curve)(qx, qy, s_raw, ne_raw, r_f))
+    return [bool(a and b) for a, b in zip(pre_ok, ok)]
+
+
+# ---------------------------------------------------------------------------
+# host key API (k256/src/schnorr/{signing,verifying}.rs analogues)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SigningKey:
+    curve: CurveSpec
+    d: int
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "SigningKey":
+        c = get_curve("secp256k1")
+        d = be_bytes_to_int(data)
+        if not 0 < d < c.n:
+            raise ValueError("invalid secret")
+        return cls(c, d)
+
+    def verifying_key(self) -> "VerifyingKey":
+        pt = ec_host.aff_mul(self.curve, self.d, ec_host.aff_generator(self.curve))
+        return VerifyingKey(self.curve, pt[0])
+
+    def sign_with_aux_rand(self, msg: bytes, aux: bytes) -> bytes:
+        (sig,) = sign_batch(self.curve, [self.d], [msg], [aux])
+        return sig
+
+    def sign(self, msg: bytes) -> bytes:
+        return self.sign_with_aux_rand(msg, b"\x00" * 32)
+
+
+@dataclasses.dataclass
+class VerifyingKey:
+    curve: CurveSpec
+    x: int  # x-only public key
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "VerifyingKey":
+        c = get_curve("secp256k1")
+        x = be_bytes_to_int(data)
+        if lift_x(c, x) is None:
+            raise ValueError("invalid x-only key")
+        return cls(c, x)
+
+    def to_bytes(self) -> bytes:
+        return int_to_be_bytes(self.x, self.curve.field_bytes)
+
+    def verify(self, msg: bytes, sig: bytes) -> bool:
+        return verify_batch(self.curve, [self.x], [msg], [sig])[0]
