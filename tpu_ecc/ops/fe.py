@@ -688,6 +688,39 @@ def finv(x: FE) -> FE:
     return fpow_const(x, x.spec.p - 2)
 
 
+def fbatch_inv(x: FE) -> FE:
+    """Batched Montgomery-trick inversion over the last batch axis.
+
+    x_i^-1 = prefix_i * suffix_i * total^-1 with prefix/suffix exclusive
+    products from two associative scans — O(B log B) muls at log-depth vs
+    B independent Fermat chains (the scan analogue of BatchInvert,
+    primeorder/src/projective.rs:382-413). Zeros map to zero.
+    """
+    s = x.spec
+    x = _steady(x)
+    zero_mask = fis_zero(x)
+    one = fone(s, x.batch_shape)
+    x = fselect(zero_mask, one, x)  # mask zeros to 1 (reference :394-399)
+    limbs = x.limbs
+
+    def combine(a, b):
+        return _steady(fmul(fe_steady(s, a), fe_steady(s, b))).limbs
+
+    incl = jax.lax.associative_scan(combine, limbs, axis=-1)
+    total = fe_steady(s, incl[..., -1:])
+    tinv = finv(total)  # [n, ..., 1]
+    # exclusive prefix: shift inclusive right by one, seed with 1
+    one_col = jnp.broadcast_to(one.limbs[..., :1], limbs[..., :1].shape)
+    excl_prefix = jnp.concatenate([one_col, incl[..., :-1]], axis=-1)
+    # suffix product via reversed scan
+    incl_r = jax.lax.associative_scan(combine, limbs[..., ::-1], axis=-1)[..., ::-1]
+    excl_suffix = jnp.concatenate([incl_r[..., 1:], one_col], axis=-1)
+    out = fmul(fe_steady(s, excl_prefix), fe_steady(s, excl_suffix))
+    out = _steady(fmul(out, FE(jnp.broadcast_to(tinv.limbs, limbs.shape),
+                               s, s.mask, s.carried_vmax)))
+    return fselect(zero_mask, fe_zeros(s, x.batch_shape), out)
+
+
 @functools.lru_cache(maxsize=None)
 def _ts_constants(spec: FieldSpec):
     """Tonelli–Shanks constants: p-1 = q * 2^s with q odd; z = a non-residue."""

@@ -126,6 +126,14 @@ def to_affine(P: Point):
     return F.fmul(P.x, zi), F.fmul(P.y, zi), is_identity(P)
 
 
+def batch_normalize(P: Point):
+    """Montgomery-trick batch affine conversion: ONE field inversion for the
+    whole batch via scan-based batch inversion (BatchNormalize,
+    primeorder/src/projective.rs:363-413). Returns (x, y, is_identity)."""
+    zi = F.fbatch_inv(P.z)
+    return F.fmul(P.x, zi), F.fmul(P.y, zi), is_identity(P)
+
+
 def on_curve(P: Point) -> jax.Array:
     """Projective curve membership: Y^2 Z = X^3 + a X Z^2 + b Z^3."""
     c = P.curve

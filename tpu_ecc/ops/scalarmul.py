@@ -181,12 +181,14 @@ def mul_by_generator(curve: CurveSpec, k_limbs: jax.Array) -> Point:
 # multi-scalar: shared-doubling lincomb (Straus), the verify hot path
 # ---------------------------------------------------------------------------
 
-def lincomb(terms) -> Point:
+def lincomb(terms, scalar_bits=None) -> Point:
     """sum(k_i * P_i) with shared doublings; terms = [(Point, k_limbs), ...]
-    (cf. lincomb in k256/src/arithmetic/mul.rs:342-393)."""
+    (cf. lincomb in k256/src/arithmetic/mul.rs:342-393). scalar_bits bounds
+    the window count for short scalars (GLV half-scalars)."""
     c = terms[0][0].curve
     tbls = [_point_table(Q) for Q, _ in terms]
-    digss = jnp.stack([window_digits(c, k) for _, k in terms], axis=0)  # [T,nw,*b]
+    digss = jnp.stack([window_digits(c, k, scalar_bits) for _, k in terms],
+                      axis=0)  # [T,nw,*b]
 
     def body(acc_l, digs_t):
         acc = P.point_from_limbs(c, acc_l)
@@ -201,3 +203,34 @@ def lincomb(terms) -> Point:
     acc0 = P.point_limbs(P.identity(c, terms[0][0].batch_shape))
     acc_l, _ = jax.lax.scan(body, acc0, digss)
     return P.point_from_limbs(c, acc_l)
+
+
+# ---------------------------------------------------------------------------
+# GLV endomorphism path (secp256k1) — k256/src/arithmetic/mul.rs:129-268
+# ---------------------------------------------------------------------------
+
+def glv_decompose(curve: CurveSpec, k: int):
+    """Balanced decomposition k = k1 + k2*lambda (mod n) with |ki| ~ sqrt(n).
+
+    Host-side exact rounding (the reference's precomputed-g1/g2 rounding,
+    mul.rs:129-152, is an approximation of the same lattice reduction).
+    Returns (abs(k1), sign(k1), abs(k2), sign(k2)) with signs in {1, -1}.
+    """
+    g = curve.glv
+    n = curve.n
+    a1, b1, a2, b2 = g["a1"], g["b1"], g["a2"], g["b2"]
+    # lattice basis: (a1, b1), (a2, b2) with a_i + b_i*lambda = 0 mod n
+    c1 = (b2 * k + n // 2) // n
+    c2 = (-b1 * k + n // 2) // n
+    k1 = k - c1 * a1 - c2 * a2
+    k2 = -c1 * b1 - c2 * b2
+    assert (k1 + k2 * g["lam"]) % n == k % n
+    return abs(k1), (1 if k1 >= 0 else -1), abs(k2), (1 if k2 >= 0 else -1)
+
+
+def endo(Q: Point) -> Point:
+    """The secp256k1 endomorphism psi(x, y) = (beta*x, y) = lambda*(x, y)
+    (k256/src/arithmetic/projective.rs:287-294)."""
+    c = Q.curve
+    beta = F.fe_from_int(c.field, c.glv["beta"], Q.batch_shape)
+    return Point(F.fmul(beta, Q.x), Q.y, Q.z, c)

@@ -1,0 +1,61 @@
+"""Collective/mesh backend: the one place that touches jax collectives.
+
+The reference has no distributed layer (SURVEY.md §2.8/§5); its only
+device-boundary precedent is the risc0 zkVM syscall
+(k256/src/arithmetic/field/field_8x32_risc0.rs:178). Here the analogue is a
+thin wrapper over jax.lax collectives on a named mesh so kernels never call
+collectives directly — swap this module to retarget ICI vs DCN topologies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "dp",
+              shape: tuple | None = None, axes: tuple | None = None) -> Mesh:
+    """1-D mesh by default; pass shape/axes for multi-axis topologies, e.g.
+    shape=(hosts, chips_per_host), axes=("dcn", "ici") to keep intra-host
+    traffic on ICI and cross-host reduction on DCN."""
+    devs = jax.devices()
+    if shape is None:
+        n = n_devices or len(devs)
+        return Mesh(np.array(devs[:n]).reshape(n), (axis,))
+    n = int(np.prod(shape))
+    return Mesh(np.array(devs[:n]).reshape(shape), axes or
+                tuple(f"ax{i}" for i in range(len(shape))))
+
+
+def shard_batch(mesh: Mesh, axis: str, arr, batch_axis: int = -1):
+    """Place an array with its batch axis sharded over `axis`."""
+    spec = [None] * arr.ndim
+    spec[batch_axis] = axis
+    return jax.device_put(arr, NamedSharding(mesh, PS(*spec)))
+
+
+def replicate(mesh: Mesh, arr):
+    return jax.device_put(arr, NamedSharding(mesh, PS()))
+
+
+# in-SPMD collectives (usable inside shard_map bodies)
+
+def all_gather(x, axis: str, tiled: bool = True):
+    return jax.lax.all_gather(x, axis, axis=0, tiled=tiled)
+
+
+def psum(x, axis: str):
+    """Arithmetic all-reduce (limb arrays must be carried first: uint32 limb
+    sums of D devices need log2(D) headroom bits)."""
+    return jax.lax.psum(x, axis)
+
+
+def ppermute_ring(x, axis: str, shift: int = 1):
+    n = jax.lax.axis_size(axis)
+    perm = [(i, (i + shift) % n) for i in range(n)]
+    return jax.lax.ppermute(x, axis, perm)
+
+
+def axis_index(axis: str):
+    return jax.lax.axis_index(axis)

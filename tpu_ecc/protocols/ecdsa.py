@@ -85,7 +85,9 @@ def _sign_core(curve: CurveSpec):
         # cf. k256 scalar.rs IsHigh / ecdsa.rs:192-197)
         half = int_to_limbs(s.p // 2 + 1, s.n_limbs, s.limb_bits)
         _, s_high = F._cond_sub(s, sig_raw, half)
-        neg = F.fto_raw_canonical(F.fneg(F.FE(sig_raw, s, s.mask, s.p - 1)))
+        # n - s on raw-domain limbs (fcanonical is domain-agnostic; must NOT
+        # apply the Montgomery decode of fto_raw_canonical here)
+        neg = F.fcanonical(F.fneg(F.FE(sig_raw, s, s.mask, s.p - 1))).limbs
         r_zero = jnp.all(r_raw == 0, axis=0)
         s_zero = jnp.all(sig_raw == 0, axis=0)
         return r_raw, sig_raw, neg, s_high, y_odd, r_overflow, r_zero | s_zero
@@ -94,17 +96,22 @@ def _sign_core(curve: CurveSpec):
 
 
 @functools.lru_cache(maxsize=None)
-def _verify_core(curve: CurveSpec):
-    s = curve.scalar
+def _verify_core(curve: CurveSpec, nterms: int, scalar_bits):
+    """Batched R = sum(k_t * P_t) + projective x == r check.
+
+    u1/u2 (public) are computed host-side; for secp256k1 the caller GLV-splits
+    them into 4 half-width terms (endomorphism points precomputed on the host),
+    halving the shared-doubling count (k256/src/arithmetic/mul.rs:342-393)."""
+    f = curve.field
 
     @jax.jit
-    def core(qx, qy, z_mont, r_mont, sinv_needed_s_mont, r_f, rn_f, rn_valid):
-        """qx/qy: affine pubkey FEs; returns bool[*batch] validity."""
-        Q = P.from_affine(curve, qx, qy)
-        sinv = F.finv(sinv_needed_s_mont)
-        u1 = F.fto_raw_canonical(F.fmul(z_mont, sinv))
-        u2 = F.fto_raw_canonical(F.fmul(r_mont, sinv))
-        R = SM.lincomb([(P.generator(curve, qx.batch_shape), u1), (Q, u2)])
+    def core(px_l, py_l, k_l, r_f, rn_f, rn_valid):
+        terms = []
+        for t in range(nterms):
+            pt = P.from_affine(curve, F.fe_steady(f, px_l[t]),
+                               F.fe_steady(f, py_l[t]))
+            terms.append((pt, k_l[t]))
+        R = SM.lincomb(terms, scalar_bits)
         # r == x(R) mod n  <=>  X == r*Z or X == (r+n)*Z  (projective check)
         ok1 = F.feq(R.x, F.fmul(r_f, R.z))
         ok2 = jnp.logical_and(rn_valid, F.feq(R.x, F.fmul(rn_f, R.z)))
@@ -112,6 +119,28 @@ def _verify_core(curve: CurveSpec):
         return jnp.logical_and(not_inf, jnp.logical_or(ok1, ok2))
 
     return core
+
+
+def _lincomb_terms_host(curve: CurveSpec, pub_pts, u1s, u2s):
+    """Build per-element term points/scalars for the verify lincomb.
+    Returns (pts [T][(x,y) lists], scalars [T][ints], scalar_bits)."""
+    n, p = curve.n, curve.p
+    G = (curve.gx, curve.gy)
+    if not curve.glv:
+        pts = [[G] * len(u1s), pub_pts]
+        return pts, [list(u1s), list(u2s)], None
+    beta = curve.glv["beta"]
+    t_pts = [[], [], [], []]
+    t_ks = [[], [], [], []]
+    for Q, u1, u2 in zip(pub_pts, u1s, u2s):
+        for base, u, slot in ((G, u1, 0), (Q, u2, 2)):
+            k1, s1, k2, s2 = SM.glv_decompose(curve, u)
+            ex = (base[0] * beta) % p
+            t_pts[slot].append((base[0], base[1] if s1 > 0 else p - base[1]))
+            t_ks[slot].append(k1)
+            t_pts[slot + 1].append((ex, base[1] if s2 > 0 else p - base[1]))
+            t_ks[slot + 1].append(k2)
+    return t_pts, t_ks, 132
 
 
 def sign_batch(curve: CurveSpec, d_ints, z_ints, k_ints=None, hashname=None,
@@ -159,31 +188,34 @@ def sign_batch(curve: CurveSpec, d_ints, z_ints, k_ints=None, hashname=None,
 
 def verify_batch(curve: CurveSpec, pub_pts, z_ints, sigs, low_s=None):
     """Batched verify. pub_pts: list of (x, y); sigs: list of (r, s).
-    Returns list[bool]."""
+    Returns list[bool]. Public per-signature scalar algebra (u1 = z/s,
+    u2 = r/s, GLV splitting) runs host-side; the scalar-mul work is batched
+    on device."""
     n, p = curve.n, curve.p
     low_s = (curve.name in LOW_S_CURVES) if low_s is None else low_s
-    s = curve.scalar
     f = curve.field
-    pre_ok = []
-    r_l, s_l = [], []
-    for (r, sg) in sigs:
+    pre_ok, r_l, u1_l, u2_l = [], [], [], []
+    for (r, sg), z in zip(sigs, z_ints):
         ok = 0 < r < n and 0 < sg < n
         if low_s and sg > n // 2:
             ok = False
         pre_ok.append(ok)
         r_l.append(r if ok else 1)
-        s_l.append(sg if ok else 1)
-    qx = F.fe_from_ints(f, [q[0] for q in pub_pts])
-    qy = F.fe_from_ints(f, [q[1] for q in pub_pts])
-    z_mont = F.fe_from_ints(s, z_ints)
-    r_mont = F.fe_from_ints(s, r_l)
-    s_mont = F.fe_from_ints(s, s_l)
+        sinv = pow(sg, -1, n) if ok else 1
+        u1_l.append((z * sinv) % n)
+        u2_l.append((r * sinv) % n if ok else 1)
+    t_pts, t_ks, sbits = _lincomb_terms_host(curve, pub_pts, u1_l, u2_l)
+    T = len(t_pts)
+    px_l = jnp.stack([F.fe_from_ints(f, [q[0] for q in pts]).limbs
+                      for pts in t_pts])
+    py_l = jnp.stack([F.fe_from_ints(f, [q[1] for q in pts]).limbs
+                      for pts in t_pts])
+    k_l = jnp.stack([SM.pack_scalars(curve, ks) for ks in t_ks])
     r_f = F.fe_from_ints(f, r_l)
     rn_valid = np.array([r + n < p for r in r_l])
     rn_f = F.fe_from_ints(f, [(r + n) % p for r in r_l])
-    core = _verify_core(curve)
-    ok = np.asarray(core(qx, qy, z_mont, r_mont, s_mont, r_f, rn_f,
-                         jnp.asarray(rn_valid)))
+    core = _verify_core(curve, T, sbits)
+    ok = np.asarray(core(px_l, py_l, k_l, r_f, rn_f, jnp.asarray(rn_valid)))
     return [bool(a and b) for a, b in zip(pre_ok, ok)]
 
 
