@@ -12,7 +12,7 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
 
@@ -52,13 +52,12 @@ def main():
     out = chain(a_l, b_l)
     out.block_until_ready()  # compile + warmup
 
-    iters = 0
+    # fixed-count dependent chain: each call consumes the previous output, so
+    # the measurement is pure device execution time (no pipelining artifacts)
+    iters = 64
     t0 = time.perf_counter()
-    while True:
+    for _ in range(iters):
         out = chain(out, b_l)
-        iters += 1
-        if iters >= 4 and (time.perf_counter() - t0) > 2.0:
-            break
     out.block_until_ready()
     dt = time.perf_counter() - t0
 

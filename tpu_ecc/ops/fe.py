@@ -201,7 +201,16 @@ class FE:
         return self.limbs.shape[1:]
 
 
+PALLAS_MODE = False
+"""Inside Pallas kernel bodies: unroll scans and inline limb constants as
+scalar literals (Mosaic kernels cannot capture array constants)."""
+
+
 def _const_arr(limbs, ndim: int):
+    if PALLAS_MODE:
+        shape = (1,) + (1,) * (ndim - 1)
+        cols = [jnp.full(shape, np.uint32(v), U32) for v in limbs]
+        return jnp.concatenate(cols, axis=0)
     arr = np.array(limbs, np.uint32).reshape((len(limbs),) + (1,) * (ndim - 1))
     return jnp.asarray(arr)
 
@@ -252,6 +261,33 @@ def fe_steady(spec: FieldSpec, limbs: jax.Array) -> FE:
 # carry passes and reduction (array-level; scans keep jaxprs small)
 # ---------------------------------------------------------------------------
 
+
+def _slice_add(arr: jax.Array, start: int, upd: jax.Array) -> jax.Array:
+    """arr with arr[start:start+len(upd)] += upd.
+
+    XLA path: dynamic-update-slice-style scatter-add (`.at[].add`) — fuses into
+    the surrounding elementwise graph. Pallas path: slices + concat (Mosaic
+    kernels cannot capture the scatter's index constants)."""
+    m = upd.shape[0]
+    if start == 0 and m == arr.shape[0]:
+        return arr + upd
+    if not PALLAS_MODE:
+        return arr.at[start:start + m].add(upd)
+    parts = []
+    if start:
+        parts.append(arr[:start])
+    parts.append(arr[start:start + m] + upd)
+    if start + m < arr.shape[0]:
+        parts.append(arr[start + m:])
+    return jnp.concatenate(parts, axis=0)
+
+
+UNROLL_SCANS = False
+"""When True, carry/borrow chains unroll instead of using lax.scan — required
+inside Pallas kernel bodies (Mosaic has no scan) and cheap there since the
+kernel graph is per-block."""
+
+
 def _carry_scan(cols: jax.Array, bound: int, b: int, mask: int):
     """Sequential carry chain over the limb axis via lax.scan.
 
@@ -261,6 +297,15 @@ def _carry_scan(cols: jax.Array, bound: int, b: int, mask: int):
     """
     assert bound + (bound >> b) + 2 < (1 << 32), "carry pass would overflow uint32"
     bs, ms = np.uint32(b), np.uint32(mask)
+
+    if UNROLL_SCANS or PALLAS_MODE:
+        outs = []
+        c = None
+        for j in range(cols.shape[0]):
+            t = cols[j] if c is None else cols[j] + c
+            outs.append(t & ms)
+            c = t >> bs
+        return jnp.stack(outs, axis=0), c
 
     def step(c, x):
         t = x + c
@@ -285,7 +330,7 @@ def _fold_arr(lo: jax.Array, hi: jax.Array, fold1) -> jax.Array:
         if f == 0:
             continue
         lo = _grow(lo, k + h)
-        lo = lo.at[k:k + h].add(hi * np.uint32(f))
+        lo = _slice_add(lo, k, hi * np.uint32(f))
     return lo
 
 
@@ -341,7 +386,7 @@ def _solinas_reduce(spec: FieldSpec, cols: jax.Array, bound: int, vmax: int) -> 
         L = min(n, -(-excess_bits // b) + 2)
         assert len(fold1) <= L
         fold_c = _const_arr(fold1, cols.ndim) * c
-        head = cols[:L].at[: len(fold1)].add(fold_c)
+        head = _slice_add(cols[:L], 0, fold_c * jnp.ones((len(fold1),) + (1,) * (cols.ndim - 1), U32))
         head, _ = _carry_scan(head, mask + max(fold1), b, mask)
         cols = jnp.concatenate([head, cols[L:]], axis=0)
     return FE(cols, spec, mask, min(vmax, W - 1))
@@ -442,7 +487,7 @@ def _conv_arr(xl: jax.Array, yl: jax.Array, out_shape) -> jax.Array:
     n, m = xl.shape[0], yl.shape[0]
     out = jnp.zeros((n + m - 1, *out_shape), U32)
     for i in range(n):
-        out = out.at[i:i + m].add(xl[i] * yl)
+        out = _slice_add(out, i, xl[i] * yl)
     return out
 
 
@@ -452,9 +497,9 @@ def _sq_arr(xl: jax.Array) -> jax.Array:
     dbl = xl + xl
     out = jnp.zeros((2 * n - 1,) + xl.shape[1:], U32)
     for i in range(n):
-        out = out.at[2 * i].add(xl[i] * xl[i])
+        out = _slice_add(out, 2 * i, (xl[i] * xl[i])[None])
         if i + 1 < n:
-            out = out.at[2 * i + 1: i + n].add(xl[i] * dbl[i + 1:])
+            out = _slice_add(out, 2 * i + 1, xl[i] * dbl[i + 1:])
     return out
 
 
@@ -470,8 +515,8 @@ def _mont_reduce(spec: FieldSpec, cols: jax.Array, in_vmax: int) -> FE:
     bs, ms, n0s = np.uint32(b), np.uint32(mask), np.uint32(n0)
     for i in range(n):
         m = (cols[i] * n0s) & ms
-        cols = cols.at[i:i + n].add(m * p_arr)
-        cols = cols.at[i + 1].add(cols[i] >> bs)
+        cols = _slice_add(cols, i, m * p_arr)
+        cols = _slice_add(cols, i + 1, (cols[i] >> bs)[None])
     out_vmax = in_vmax // spec.W + spec.p + 1
     assert out_vmax < spec.W
     rows, _ = _carry_scan(cols[n:2 * n], (1 << 32) - 1 - (1 << 21), b, mask)

@@ -234,3 +234,31 @@ def endo(Q: Point) -> Point:
     c = Q.curve
     beta = F.fe_from_int(c.field, c.glv["beta"], Q.batch_shape)
     return Point(F.fmul(beta, Q.x), Q.y, Q.z, c)
+
+
+def scalar_mul_glv(Q: Point, k_ints):
+    """k*Q via GLV split + endomorphism dual-table lincomb: 33 window rounds
+    instead of 64 (the reference's k256 mul path, mul.rs:342-393, 443-445).
+
+    The decomposition runs host-side on the scalar values (the reference's
+    decompose_scalar is likewise vartime, mul.rs:260-268); use plain
+    scalar_mul for strictly data-independent handling of secret scalars.
+    """
+    c = Q.curve
+    assert c.glv, "curve has no endomorphism"
+    k1s, k2s, negs1, negs2 = [], [], [], []
+    for k in k_ints:
+        k1, s1, k2, s2 = glv_decompose(c, k % c.n)
+        k1s.append(k1)
+        k2s.append(k2)
+        negs1.append(s1 < 0)
+        negs2.append(s2 < 0)
+    import jax.numpy as _jnp
+
+    n1 = _jnp.asarray(np.array(negs1))
+    n2 = _jnp.asarray(np.array(negs2))
+    Q1 = P.pselect(n1, P.pneg(Q), Q)
+    Qe = endo(Q)
+    Q2 = P.pselect(n2, P.pneg(Qe), Qe)
+    return lincomb([(Q1, pack_scalars(c, k1s)), (Q2, pack_scalars(c, k2s))],
+                   scalar_bits=132)
