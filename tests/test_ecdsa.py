@@ -137,3 +137,35 @@ def test_der_strictness():
     ]:
         with pytest.raises(der.DerError):
             der.der_to_sig(bad)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["p224", "p521", "bp256r1", "bp256t1",
+                                  "bp384r1", "bp384t1"])
+def test_sign_verify_all_curves(name, rng):
+    """Every remaining ECDSA curve exercises the full generic machinery."""
+    c = get_curve(name)
+    B = 2
+    ds = [rng.randrange(1, c.n) for _ in range(B)]
+    zs = [rng.randrange(c.n) for _ in range(B)]
+    sigs = ecdsa.sign_batch(c, ds, zs)
+    pubs = [H.aff_mul(c, d, H.aff_generator(c)) for d in ds]
+    assert ecdsa.verify_batch(c, pubs, zs, [(r, s) for r, s, _ in sigs]) == [True] * B
+    for d, z, (r, s, _) in zip(ds, zs, sigs):
+        k_check = (pow(s, -1, c.n) * (z + r * d)) % c.n
+        assert H.aff_mul(c, k_check, H.aff_generator(c))[0] % c.n == r
+
+
+def test_p192_verify_only(rng):
+    """p192 matches the reference's verify-only policy (p192/src/ecdsa.rs:36-51)."""
+    c = get_curve("p192")
+    d = rng.randrange(1, c.n)
+    z = rng.randrange(c.n)
+    with pytest.raises(NotImplementedError):
+        ecdsa.sign_batch(c, [d], [z])
+    # verify still works against a host-generated signature
+    k = rng.randrange(1, c.n)
+    r = H.aff_mul(c, k, H.aff_generator(c))[0] % c.n
+    s = (pow(k, -1, c.n) * (z + r * d)) % c.n
+    pub = H.aff_mul(c, d, H.aff_generator(c))
+    assert ecdsa.verify_batch(c, [pub], [z], [(r, s)]) == [True]

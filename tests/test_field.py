@@ -16,11 +16,18 @@ import pytest
 from tpu_ecc.curves.specs import get_curve, list_curves
 from tpu_ecc.ops import fe as F
 
+# Representative specs cover every backend flavor (solinas-13 narrow/wide,
+# mont-13 narrow/tight, mont-12 wide); the full 24-spec matrix runs with
+# `-m slow` (this box compiles slowly; coverage is per code path, not per curve).
+_DEFAULT = {"secp256k1.fp", "secp256k1.fn", "p256.fp", "p256.fn", "p384.fp",
+            "p521.fp", "p521.fn", "bign256.fp", "p192.fp"}
 ALL_FIELDS = []
 for _c in list_curves():
     cur = get_curve(_c)
-    ALL_FIELDS.append(pytest.param(cur.field, id=f"{_c}.fp"))
-    ALL_FIELDS.append(pytest.param(cur.scalar, id=f"{_c}.fn"))
+    for spec, suffix in ((cur.field, "fp"), (cur.scalar, "fn")):
+        _id = f"{_c}.{suffix}"
+        marks = () if _id in _DEFAULT else (pytest.mark.slow,)
+        ALL_FIELDS.append(pytest.param(spec, id=_id, marks=marks))
 
 
 def ev(spec, fn, *int_lists):
@@ -149,3 +156,24 @@ def test_sqrt(spec, rng):
     assert list(ok) == [True] * len(squares) + [False]
     for g, v in zip(r[: len(squares)], squares):
         assert (g * g) % p == v
+
+
+DBL_CURVES = ["secp256k1", "p256", "bign256"]
+
+
+@pytest.mark.parametrize("name", DBL_CURVES)
+def test_field_dbl_vectors(name):
+    """The reference's field doubling-chain vectors
+    (<curve>/src/test_vectors/field.rs DBL_TEST_VECTORS)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "vectors",
+                        f"field_dbl_{name}.json")
+    if not os.path.exists(path):
+        pytest.skip("no vectors shipped for this curve")
+    vals = [int(h, 16) for h in json.load(open(path))]
+    spec = get_curve(name).field
+    x = F.fe_from_ints(spec, vals[:-1])
+    got = jax.jit(lambda v: F.fcanonical(v + v))(x)
+    assert F.fe_to_ints(got) == vals[1:]

@@ -1,0 +1,72 @@
+"""MSM tests: single-device vs host oracle, multi-device sharded via the
+8-virtual-device CPU mesh, batch normalization."""
+
+import jax
+import numpy as np
+import pytest
+
+from tpu_ecc.curves.specs import get_curve
+from tpu_ecc.ops import fe as F
+from tpu_ecc.ops import points as P
+from tpu_ecc.parallel import collectives, msm as M
+from tpu_ecc.utils import ec_host as H
+
+
+def _host_msm(c, pts, ks):
+    acc = None
+    for p_, k in zip(pts, ks):
+        acc = H.aff_add(c, acc, H.aff_mul(c, k, p_))
+    return acc
+
+
+def test_msm_single_device(rng):
+    c = get_curve("secp256k1")
+    G = H.aff_generator(c)
+    pts = [H.aff_mul(c, rng.randrange(1, c.n), G) for _ in range(9)]
+    ks = [rng.randrange(1, 1 << 16) for _ in range(9)]
+    got = M.msm(c, pts, ks, terms=2, scalar_bits=16)
+    assert got == _host_msm(c, pts, ks)
+
+
+def test_msm_zero_and_identity(rng):
+    c = get_curve("secp256k1")
+    G = H.aff_generator(c)
+    pts = [G, H.aff_mul(c, 7, G)]
+    # k=0 terms and a total that cancels to the identity
+    assert M.msm(c, pts, [0, 0], terms=2, scalar_bits=16) is None
+    got = M.msm(c, [G, G], [5, c.n - 5], terms=2)
+    assert got is None
+
+
+def test_msm_sharded_mesh(rng):
+    """Points sharded over 8 virtual devices; replicated result == oracle."""
+    c = get_curve("secp256k1")
+    mesh = collectives.make_mesh(8, "dp")
+    G = H.aff_generator(c)
+    N = 2 * 128 * 8
+    base = [H.aff_mul(c, rng.randrange(1, c.n), G) for _ in range(8)]
+    pts = [base[i % 8] for i in range(N)]
+    ks = [rng.randrange(0, 1 << 16) for _ in range(N)]
+    got = M.msm(c, pts, ks, mesh=mesh, axis="dp", terms=2, scalar_bits=16)
+    assert got == _host_msm(c, pts, ks)
+
+
+def test_tree_reduce_and_batch_normalize(rng):
+    c = get_curve("secp256k1")
+    G = H.aff_generator(c)
+    ks = [rng.randrange(1, c.n) for _ in range(8)]
+    pts = [H.aff_mul(c, k, G) for k in ks]
+    pp = P.from_affine_ints(c, [p_[0] for p_ in pts], [p_[1] for p_ in pts])
+
+    red = jax.jit(lambda q: P.point_limbs(M.tree_reduce_points(P.steady(q))))(pp)
+    x, y, inf = jax.jit(P.to_affine)(P.point_from_limbs(c, red))
+    want = _host_msm(c, pts, [1] * 8)
+    assert not bool(np.asarray(inf))
+    assert (F.fe_to_ints(x)[0], F.fe_to_ints(y)[0]) == want
+
+    # batch_normalize matches to_affine, including an identity lane
+    idp = P.pselect(np.array([False] * 7 + [True]), P.identity(c, (8,)), pp)
+    bx, by, binf = jax.jit(P.batch_normalize)(idp)
+    assert list(np.asarray(binf)) == [False] * 7 + [True]
+    assert F.fe_to_ints(bx)[:7] == [p_[0] for p_ in pts[:7]]
+    assert F.fe_to_ints(by)[:7] == [p_[1] for p_ in pts[:7]]

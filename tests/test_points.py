@@ -22,7 +22,9 @@ from tpu_ecc.ops import points as P
 from tpu_ecc.utils import ec_host as H
 
 VEC_DIR = os.path.join(os.path.dirname(__file__), "vectors")
-CURVES = list_curves()
+_DEFAULT = {"secp256k1", "p256", "bp256r1", "p521"}  # one per strategy/backend
+CURVES = [pytest.param(n, marks=() if n in _DEFAULT else (pytest.mark.slow,))
+          for n in list_curves()]
 
 
 def proj_matches(pt: P.Point, want_affine) -> jax.Array:

@@ -149,3 +149,18 @@ def test_expand_message_xmd():
     out = hash2curve.expand_message_xmd(b"abc", dst, 0x20, "sha256")
     assert out.hex() == ("d8ccab23b5985ccea865c6c97b6e5b8350e794e603b4b979"
                         "02f53a8a0d605615")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["p384", "p521"])
+def test_hash_to_curve_oncurve(name):
+    """Wide-field h2c: on-curve, deterministic, message-separating."""
+    c = get_curve(name)
+    dst = b"QUUX-V01-CS02-test"
+    pts = hash2curve.hash_to_curve(c, [b"", b"abc", b"abc"], dst)
+    for x, y in pts:
+        assert H.on_curve(c, (x, y))
+    assert pts[1] == pts[2] and pts[0] != pts[1]
+    # hash_to_scalar stays in range
+    for s in hash2curve.hash_to_scalar(c, [b"x", b"y"], dst):
+        assert 0 <= s < c.n

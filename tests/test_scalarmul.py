@@ -21,7 +21,9 @@ from tpu_ecc.utils import ec_host as H
 VEC_DIR = os.path.join(os.path.dirname(__file__), "vectors")
 
 # Cover every strategy/backend combo without paying compile for all 12 curves.
-CURVES = ["secp256k1", "p256", "p384", "bp256r1", "bign256"]
+_DEFAULT = {"secp256k1", "p256", "bign256"}
+CURVES = [pytest.param(n, marks=() if n in _DEFAULT else (pytest.mark.slow,))
+          for n in ["secp256k1", "p256", "p384", "bp256r1", "bign256"]]
 
 
 def _mul_vectors(name, limit=8):

@@ -65,7 +65,7 @@ def extract_field_dbl(curve, crate):
     if not os.path.exists(path):
         return
     text = open(path).read()
-    m = re.search(r"DBL_TEST_VECTORS[^=]*=\s*\[(.*?)\n\];", text, re.S)
+    m = re.search(r"DBL_TEST_VECTORS[^=]*=\s*&?\[(.*?)\n\];", text, re.S)
     if not m:
         return
     vals = [h for (h,) in parse_hex_tuples(m.group(1), 1)]

@@ -42,6 +42,8 @@ CURVE_HASH = {
     "bp384r1": "sha384", "bp384t1": "sha384", "sm2": "sm3", "bign256": "sha256",
 }
 LOW_S_CURVES = {"secp256k1"}
+# p192 is verify-only in the reference (legacy curve, p192/src/ecdsa.rs:36-51)
+SIGN_UNSUPPORTED = {"p192"}
 
 
 def hash_msg(curve: CurveSpec, msg: bytes, hashname=None) -> bytes:
@@ -151,6 +153,10 @@ def sign_batch(curve: CurveSpec, d_ints, z_ints, k_ints=None, hashname=None,
     wiring); all field/group algebra runs batched on device.
     """
     n = curve.n
+    if curve.name in SIGN_UNSUPPORTED:
+        raise NotImplementedError(
+            f"{curve.name} is verify-only, matching the reference"
+            " (p192/src/ecdsa.rs:36-51)")
     low_s = (curve.name in LOW_S_CURVES) if low_s is None else low_s
     hashname = hashname or CURVE_HASH[curve.name]
     if k_ints is None:
