@@ -230,14 +230,13 @@ def fe_from_int(spec: FieldSpec, value: int, batch_shape=()) -> FE:
 
 def fe_from_ints(spec: FieldSpec, values, batch_shape=None) -> FE:
     """Host batch of math-domain ints -> device FE (canonical, carried)."""
+    from ..utils.bigint import ints_to_limbs_np
+
     vs = [spec.encode_int(v) for v in values]
-    arr = np.stack(
-        [np.array(int_to_limbs(v, spec.n_limbs, spec.limb_bits), np.uint32) for v in vs],
-        axis=1,
-    )
+    arr = ints_to_limbs_np(vs, spec.n_limbs, spec.limb_bits)
     if batch_shape is not None:
         arr = arr.reshape((spec.n_limbs, *batch_shape))
-    return FE(jnp.asarray(arr), spec, spec.mask, max(vs) if vs else 0)
+    return FE(jnp.asarray(arr), spec, spec.mask, spec.p - 1 if vs else 0)
 
 
 def fe_to_ints(x: FE) -> list[int]:
@@ -600,6 +599,46 @@ def freduce(x: FE, mult: int = 1) -> FE:
 def fcanonical(x: FE) -> FE:
     """Fully reduce into [0, p) (internal domain). For serialization/compares."""
     return freduce(x, 1)
+
+
+def words_from_ints(vals, bits: int) -> np.ndarray:
+    """Host ints -> packed little-endian 32-bit words uint32[n_words, B].
+    The minimal wire format for the slow host<->device link: 4 bytes/32 bits
+    vs 4 bytes/13 bits for limb arrays."""
+    nw = (bits + 31) // 32
+    N = len(vals)
+    if N == 0:
+        return np.zeros((nw, 0), np.uint32)
+    buf = b"".join(int(v).to_bytes(4 * nw, "little") for v in vals)
+    arr = np.frombuffer(buf, "<u4").reshape(N, nw)
+    return np.ascontiguousarray(arr.T)
+
+
+def ints_from_words(arr) -> list[int]:
+    """uint32[n_words, B] -> host ints."""
+    a = np.ascontiguousarray(np.asarray(arr).T.astype("<u4"))
+    return [int.from_bytes(a[i].tobytes(), "little") for i in range(a.shape[0])]
+
+
+def fe_from_words(spec: FieldSpec, words: jax.Array, value_bits: int,
+                  encode: bool = True) -> FE:
+    """Device: packed 32-bit words -> FE (Montgomery-encoded on device when the
+    spec is 'mont' and encode=True). Keeps host->device traffic minimal."""
+    raw = relimb(words, 32, spec.limb_bits, spec.n_limbs)
+    vmax = min((1 << value_bits), spec.W) - 1
+    fe = FE(raw, spec, spec.mask, vmax)
+    if encode and spec.kind == "mont":
+        # multiply raw limbs by enc(R) = R^2: raw * R^2 / R = mont(value)
+        fe = fmul(fe, fe_from_int(spec, spec.r, words.shape[1:]))
+    return fe
+
+
+def fe_to_words(x: FE, bits: int | None = None) -> jax.Array:
+    """Device: FE -> canonical integer packed as 32-bit words (for D2H)."""
+    s = x.spec
+    bits = bits or s.bits
+    raw = fto_raw_canonical(x)
+    return relimb(raw, s.limb_bits, 32, (bits + 31) // 32)
 
 
 def fto_raw_canonical(x: FE) -> jax.Array:

@@ -36,12 +36,10 @@ from .points import Point
 
 def pack_scalars(curve: CurveSpec, ints, batch_shape=None) -> jax.Array:
     """Host ints -> canonical scalar limbs uint32[n_limbs, *batch]."""
+    from ..utils.bigint import ints_to_limbs_np
+
     s = curve.scalar
-    arr = np.stack(
-        [np.array(int_to_limbs(v % s.p, s.n_limbs, s.limb_bits), np.uint32)
-         for v in ints],
-        axis=1,
-    )
+    arr = ints_to_limbs_np([v % s.p for v in ints], s.n_limbs, s.limb_bits)
     if batch_shape is not None:
         arr = arr.reshape((s.n_limbs, *batch_shape))
     return jnp.asarray(arr)

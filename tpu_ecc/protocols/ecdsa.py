@@ -67,54 +67,81 @@ def _sign_core(curve: CurveSpec):
 
     s = curve.scalar
     f = curve.field
+    sbits = s.bits
 
     @jax.jit
-    def core(k_raw, k_mont, z_mont, d_mont):
+    def core(k_w, z_w, d_w):
+        """Packed-word IO (the host<->device link is the bottleneck; see
+        PERF.md): inputs/outputs are 32-bit word arrays, all unpacking,
+        Montgomery encoding and scalar algebra happen on device."""
+        k_raw = F.relimb(k_w, 32, s.limb_bits, s.n_limbs)
+        k_mont = F.fe_from_words(s, k_w, sbits)
+        z_mont = F.fe_from_words(s, z_w, sbits)
+        d_mont = F.fe_from_words(s, d_w, sbits)
         R = SM.mul_by_generator(curve, k_raw)
         x_aff, y_aff, _ = P.to_affine(R)
         r_raw, r_overflow = F.field_to_scalar_raw(f, s, x_aff)
-        # y parity of the affine y (canonical integer-domain limb 0, bit 0)
         y_raw = F.fto_raw_canonical(y_aff)
         y_odd = (y_raw[0] & np.uint32(1)) == 1
-        # s = k^-1 (z + r d) in the Montgomery scalar field; r enters the
-        # Montgomery domain by multiplying its raw limbs with R^2/R = R.
+        # s = k^-1 (z + r d); r enters Montgomery form via * enc(R) = R^2
         r_raw_fe = F.FE(r_raw, s, s.mask, s.p - 1)
-        r_mont = F.fmul(r_raw_fe, F.fe_from_int(s, s.r, k_raw.shape[1:]))
+        r_mont = F.fmul(r_raw_fe, F.fe_from_int(s, s.r, k_w.shape[1:]))
         kinv = F.finv(k_mont)
         sig = F.fmul(kinv, z_mont + F.fmul(r_mont, d_mont))
         sig_raw = F.fto_raw_canonical(sig)
-        # low-s data: s > n/2 test and n - s (for IsHigh + normalize_s,
-        # cf. k256 scalar.rs IsHigh / ecdsa.rs:192-197)
+        # low-s data (IsHigh + normalize_s, cf. k256 ecdsa.rs:192-197)
         half = int_to_limbs(s.p // 2 + 1, s.n_limbs, s.limb_bits)
         _, s_high = F._cond_sub(s, sig_raw, half)
-        # n - s on raw-domain limbs (fcanonical is domain-agnostic; must NOT
-        # apply the Montgomery decode of fto_raw_canonical here)
         neg = F.fcanonical(F.fneg(F.FE(sig_raw, s, s.mask, s.p - 1))).limbs
         r_zero = jnp.all(r_raw == 0, axis=0)
         s_zero = jnp.all(sig_raw == 0, axis=0)
-        return r_raw, sig_raw, neg, s_high, y_odd, r_overflow, r_zero | s_zero
+        nww = (sbits + 31) // 32
+        pack = lambda limbs: F.relimb(limbs, s.limb_bits, 32, nww)  # noqa: E731
+        return (pack(r_raw), pack(sig_raw), pack(neg), s_high, y_odd,
+                r_overflow, r_zero | s_zero)
 
     return core
 
 
 @functools.lru_cache(maxsize=None)
-def _verify_core(curve: CurveSpec, nterms: int, scalar_bits):
-    """Batched R = sum(k_t * P_t) + projective x == r check.
-
-    u1/u2 (public) are computed host-side; for secp256k1 the caller GLV-splits
-    them into 4 half-width terms (endomorphism points precomputed on the host),
-    halving the shared-doubling count (k256/src/arithmetic/mul.rs:342-393)."""
+def _verify_core(curve: CurveSpec):
+    """All-device verify: unpack words, Montgomery-encode, invert s, lincomb
+    u1*G + u2*Q, projective x==r check. Word-packed IO keeps the slow
+    host<->device link to ~40 bytes/signature each way."""
     f = curve.field
+    s = curve.scalar
+    fbits, sbits = f.bits, s.bits
+
+    nwf = (fbits + 31) // 32
+    nws = (sbits + 31) // 32
 
     @jax.jit
-    def core(px_l, py_l, k_l, r_f, rn_f, rn_valid):
-        terms = []
-        for t in range(nterms):
-            pt = P.from_affine(curve, F.fe_steady(f, px_l[t]),
-                               F.fe_steady(f, py_l[t]))
-            terms.append((pt, k_l[t]))
-        R = SM.lincomb(terms, scalar_bits)
+    def core(buf):
+        """buf: one [2*nwf + 3*nws + 1, B] uint32 array — a single H2D
+        transfer (the link has ~30ms per-transfer latency)."""
+        bshape = buf.shape[1:]
+        o = 0
+        qx_w = buf[o:o + nwf]; o += nwf
+        qy_w = buf[o:o + nwf]; o += nwf
+        z_w = buf[o:o + nws]; o += nws
+        r_w = buf[o:o + nws]; o += nws
+        s_w = buf[o:o + nws]; o += nws
+        rn_valid = buf[o] == 1
+        qx = F.fe_from_words(f, qx_w, fbits)
+        qy = F.fe_from_words(f, qy_w, fbits)
+        z_m = F.fe_from_words(s, z_w, sbits)
+        r_m = F.fe_from_words(s, r_w, sbits)
+        s_m = F.fe_from_words(s, s_w, sbits)
+        sinv = F.finv(s_m)
+        u1 = F.fto_raw_canonical(F.fmul(z_m, sinv))
+        u2 = F.fto_raw_canonical(F.fmul(r_m, sinv))
+        Q = P.from_affine(curve, qx, qy)
+        G = P.generator(curve, bshape)
+        R = SM.lincomb([(G, u1), (Q, u2)])
         # r == x(R) mod n  <=>  X == r*Z or X == (r+n)*Z  (projective check)
+        r_f = F.fe_from_words(f, r_w, sbits)
+        n_f = F.fe_from_int(f, s.p % f.p, bshape)
+        rn_f = r_f + n_f        # integer r+n when rn_valid (r+n < p)
         ok1 = F.feq(R.x, F.fmul(r_f, R.z))
         ok2 = jnp.logical_and(rn_valid, F.feq(R.x, F.fmul(rn_f, R.z)))
         not_inf = jnp.logical_not(P.is_identity(R))
@@ -123,34 +150,13 @@ def _verify_core(curve: CurveSpec, nterms: int, scalar_bits):
     return core
 
 
-def _lincomb_terms_host(curve: CurveSpec, pub_pts, u1s, u2s):
-    """Build per-element term points/scalars for the verify lincomb.
-    Returns (pts [T][(x,y) lists], scalars [T][ints], scalar_bits)."""
-    n, p = curve.n, curve.p
-    G = (curve.gx, curve.gy)
-    if not curve.glv:
-        pts = [[G] * len(u1s), pub_pts]
-        return pts, [list(u1s), list(u2s)], None
-    beta = curve.glv["beta"]
-    t_pts = [[], [], [], []]
-    t_ks = [[], [], [], []]
-    for Q, u1, u2 in zip(pub_pts, u1s, u2s):
-        for base, u, slot in ((G, u1, 0), (Q, u2, 2)):
-            k1, s1, k2, s2 = SM.glv_decompose(curve, u)
-            ex = (base[0] * beta) % p
-            t_pts[slot].append((base[0], base[1] if s1 > 0 else p - base[1]))
-            t_ks[slot].append(k1)
-            t_pts[slot + 1].append((ex, base[1] if s2 > 0 else p - base[1]))
-            t_ks[slot + 1].append(k2)
-    return t_pts, t_ks, 132
-
-
 def sign_batch(curve: CurveSpec, d_ints, z_ints, k_ints=None, hashname=None,
                low_s=None):
     """Batched deterministic ECDSA. Returns (r, s, recovery_id) int lists.
 
     Nonces come from RFC 6979 host-side (like the reference's SignPrimitive
-    wiring); all field/group algebra runs batched on device.
+    wiring); all field/group algebra runs batched on device with word-packed
+    host<->device IO.
     """
     n = curve.n
     if curve.name in SIGN_UNSUPPORTED:
@@ -166,16 +172,13 @@ def sign_batch(curve: CurveSpec, d_ints, z_ints, k_ints=None, hashname=None,
             for d, z in zip(d_ints, z_ints)
         ]
     s = curve.scalar
-    k_raw = SM.pack_scalars(curve, k_ints)
-    k_mont = F.fe_from_ints(s, k_ints)
-    z_mont = F.fe_from_ints(s, z_ints)
-    d_mont = F.fe_from_ints(s, d_ints)
+    w = lambda vals: jnp.asarray(F.words_from_ints(vals, s.bits))  # noqa: E731
     core = _sign_core(curve)
-    r_raw, s_raw, s_neg, s_high, y_odd, r_ovf, bad = core(
-        k_raw, k_mont, z_mont, d_mont)
-    rs = _unpack_raw(s, r_raw)
-    ss = _unpack_raw(s, s_raw)
-    sn = _unpack_raw(s, s_neg)
+    r_w, s_w, neg_w, s_high, y_odd, r_ovf, bad = core(
+        w(k_ints), w([z % n for z in z_ints]), w(d_ints))
+    rs = F.ints_from_words(r_w)
+    ss = F.ints_from_words(s_w)
+    sn = F.ints_from_words(neg_w)
     s_high = np.asarray(s_high)
     y_odd = np.asarray(y_odd)
     r_ovf = np.asarray(r_ovf)
@@ -194,34 +197,32 @@ def sign_batch(curve: CurveSpec, d_ints, z_ints, k_ints=None, hashname=None,
 
 def verify_batch(curve: CurveSpec, pub_pts, z_ints, sigs, low_s=None):
     """Batched verify. pub_pts: list of (x, y); sigs: list of (r, s).
-    Returns list[bool]. Public per-signature scalar algebra (u1 = z/s,
-    u2 = r/s, GLV splitting) runs host-side; the scalar-mul work is batched
-    on device."""
+    Returns list[bool]. Host does only range/policy checks and word packing;
+    all algebra (s^-1, u1/u2, lincomb, x==r) runs on device."""
     n, p = curve.n, curve.p
     low_s = (curve.name in LOW_S_CURVES) if low_s is None else low_s
+    s = curve.scalar
     f = curve.field
-    pre_ok, r_l, u1_l, u2_l = [], [], [], []
+    pre_ok, r_l, s_l, z_l, rn_valid = [], [], [], [], []
     for (r, sg), z in zip(sigs, z_ints):
         ok = 0 < r < n and 0 < sg < n
         if low_s and sg > n // 2:
             ok = False
         pre_ok.append(ok)
         r_l.append(r if ok else 1)
-        sinv = pow(sg, -1, n) if ok else 1
-        u1_l.append((z * sinv) % n)
-        u2_l.append((r * sinv) % n if ok else 1)
-    t_pts, t_ks, sbits = _lincomb_terms_host(curve, pub_pts, u1_l, u2_l)
-    T = len(t_pts)
-    px_l = jnp.stack([F.fe_from_ints(f, [q[0] for q in pts]).limbs
-                      for pts in t_pts])
-    py_l = jnp.stack([F.fe_from_ints(f, [q[1] for q in pts]).limbs
-                      for pts in t_pts])
-    k_l = jnp.stack([SM.pack_scalars(curve, ks) for ks in t_ks])
-    r_f = F.fe_from_ints(f, r_l)
-    rn_valid = np.array([r + n < p for r in r_l])
-    rn_f = F.fe_from_ints(f, [(r + n) % p for r in r_l])
-    core = _verify_core(curve, T, sbits)
-    ok = np.asarray(core(px_l, py_l, k_l, r_f, rn_f, jnp.asarray(rn_valid)))
+        s_l.append(sg if ok else 1)
+        z_l.append(z % n)
+        rn_valid.append(r + n < p)
+    buf = np.concatenate([
+        F.words_from_ints([q[0] for q in pub_pts], f.bits),
+        F.words_from_ints([q[1] for q in pub_pts], f.bits),
+        F.words_from_ints(z_l, s.bits),
+        F.words_from_ints(r_l, s.bits),
+        F.words_from_ints(s_l, s.bits),
+        np.array(rn_valid, np.uint32)[None],
+    ], axis=0)
+    core = _verify_core(curve)
+    ok = np.asarray(core(jnp.asarray(buf)))
     return [bool(a and b) for a, b in zip(pre_ok, ok)]
 
 
