@@ -6,10 +6,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"  # force: the global env pins axon
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
-# persistent compilation cache: identical jaxprs compile once across runs
+# persistent compilation cache: identical jaxprs compile once across runs.
+# READ-mostly under pytest: serializing some large CPU executables for cache
+# WRITES segfaults this XLA build, so writes are effectively disabled here
+# (dev scripts may still populate the cache; a crashed script is rerunnable,
+# a crashed suite is not).
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-cpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
+os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1000000000"
 
 import random
 
