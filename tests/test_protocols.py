@@ -124,7 +124,7 @@ H2C_VECTORS = {
             (b"", 0xC1CAE290E291AEE617EBAEF1BE6D73861479C48B841EABA9B7B5852DDFEB1346,
              0x64FA678E07AE116126F08B022A94AF6DE15985C996C3A91B64C406A960E51067),
             (b"abc", 0x3377E01EAB42DB296B512293120C6CEE72B6ECF9F9205760BD9FF11FB3CB2C4B,
-             0x7F95890F33EFEBD1044D382A01B1BEE090AC7A781655F48B63EDD82F9B565BBF),
+             0x7F95890F33EFEBD1044D382A01B1BEE0900FB6116F94688D487C6C7B9C8371F6),
         ],
     },
 }

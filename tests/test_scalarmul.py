@@ -27,6 +27,12 @@ CURVES = [pytest.param(n, marks=() if n in _DEFAULT else (pytest.mark.slow,))
 
 
 def _mul_vectors(name, limit=8):
+    # bign256's shipped MUL_TEST_VECTORS are not on the curve under any byte
+    # order, and the reference's own projective test imports *p256's* vectors
+    # instead (bign256/tests/projective.rs:9-12) — dead data; skip them and
+    # rely on the host-int oracle for bign256.
+    if name == "bign256":
+        return []
     path = os.path.join(VEC_DIR, f"group_{name}.json")
     if os.path.exists(path):
         vec = json.load(open(path)).get("mul", [])[:limit]
