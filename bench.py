@@ -1,8 +1,18 @@
 #!/usr/bin/env python3
-"""Headline benchmark: batched secp256k1 point additions per second per chip.
+"""Benchmark suite (criterion-parity; cf. the reference's per-crate benches
+k256/benches/{field,scalar,ecdsa}.rs, p256/benches/*, p384/benches/*).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline target: 1e8 point-adds/s/chip (BASELINE.md north star).
+Default mode prints ONE JSON line — the headline metric the driver records:
+    {"metric": "secp256k1 batched point-adds/s/chip", ...}
+`python bench.py --full` additionally runs the sub-bench suite (field mul/
+square/invert, scalar_mul, mul_by_generator, lincomb, ECDSA sign/verify,
+Pippenger MSM at 2^20) and writes BENCHES.json.
+
+Methodology: every device measurement is a fixed-count *dependency-chained*
+loop — each call consumes the previous call's output, so enqueue pipelining
+cannot hide latency (see PERF.md). Results on the shared-pool chip vary
+run-to-run; BENCHES.json records per-bench seconds so regressions are
+attributable.
 """
 
 import json
@@ -12,21 +22,38 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-tpu")
+_REPO = os.path.dirname(os.path.abspath(__file__))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_REPO, ".cache", "jax-tpu"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
 
+RESULTS = []
 
-def main():
+
+def record(name, curve, batch, per_call_s, value, unit):
+    RESULTS.append({"name": name, "curve": curve, "batch": batch,
+                    "secs_per_call": per_call_s, "value": round(value, 1),
+                    "unit": unit})
+    print(f"  {name:28s} {curve:10s} B={batch:<8d} "
+          f"{per_call_s*1e3:9.3f} ms/call  {value:.3e} {unit}",
+          file=sys.stderr)
+
+
+def _chain_tweak(out_arr):
+    """A data dependency on `out_arr` that is numerically zero but opaque to
+    constant folding (limbs are < 2^13 so >>31 is 0)."""
+    flat = out_arr
+    while flat.ndim > 1:
+        flat = flat[0]
+    return flat[0] >> np.uint32(31)
+
+
+def headline(curve, B=8192, repeat=16, iters=64):
+    """Batched secp256k1 point additions per second per chip."""
     import jax
-
-    from tpu_ecc.curves.specs import get_curve
     from tpu_ecc.ops import points as P
     from tpu_ecc.utils import ec_host as H
-
-    curve = get_curve("secp256k1")
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
-    REPEAT = 16  # chained adds inside one jit to amortize dispatch
 
     G = H.aff_generator(curve)
     rng = np.random.default_rng(42)
@@ -45,23 +72,196 @@ def main():
     def chain(a, b):
         pa = P.point_from_limbs(curve, a)
         pb = P.point_from_limbs(curve, b)
-        for _ in range(REPEAT):
+        for _ in range(repeat):
             pa = P.steady(P.padd(pa, pb))
         return P.point_limbs(pa)
 
     out = chain(a_l, b_l)
     out.block_until_ready()  # compile + warmup
-
-    # fixed-count dependent chain: each call consumes the previous output, so
-    # the measurement is pure device execution time (no pipelining artifacts)
-    iters = 64
     t0 = time.perf_counter()
     for _ in range(iters):
         out = chain(out, b_l)
     out.block_until_ready()
     dt = time.perf_counter() - t0
+    adds_per_sec = iters * repeat * B / dt
+    record("point_add", curve.name, B, dt / (iters * repeat), adds_per_sec,
+           "adds/s")
+    return adds_per_sec
 
-    adds_per_sec = iters * REPEAT * B / dt
+
+def bench_field(curve, B=8192, iters=32):
+    import jax
+    from tpu_ecc.ops import fe as F
+    from tpu_ecc.utils.profiling import time_fn
+
+    f = curve.field
+    rng = np.random.default_rng(1)
+    vals = [int.from_bytes(rng.bytes(f.bits // 8), "big") % f.p
+            for _ in range(8)] * (B // 8)
+    a_l = F.fe_from_ints(f, vals).limbs
+    b_l = F.fe_from_ints(f, vals[::-1]).limbs
+
+    def wrap(op, nargs=2):
+        def fn(*ls):
+            fes = [F.fe_steady(f, l) for l in ls]
+            return F._steady(op(*fes)).limbs
+        return jax.jit(fn)
+
+    t = time_fn(wrap(F.fmul), a_l, b_l, iters=iters)
+    record("field_mul", curve.name, B, t, B / t, "muls/s")
+    t = time_fn(wrap(F.fsquare), a_l, iters=iters)
+    record("field_square", curve.name, B, t, B / t, "squares/s")
+    t = time_fn(wrap(F.finv), a_l, iters=4)
+    record("field_invert", curve.name, B, t, B / t, "inverts/s")
+
+
+def bench_scalarmul(curve, B=1024, iters=4):
+    import jax
+    from tpu_ecc.ops import fe as F
+    from tpu_ecc.ops import points as P
+    from tpu_ecc.ops import scalarmul as SM
+    from tpu_ecc.utils import ec_host as H
+    from tpu_ecc.utils.profiling import time_fn
+
+    G = H.aff_generator(curve)
+    rng = np.random.default_rng(2)
+    base = [H.aff_mul(curve, int(k), G) for k in rng.integers(1, 2**31, 8)]
+    pp = P.from_affine_ints(curve, [p[0] for p in base] * (B // 8),
+                            [p[1] for p in base] * (B // 8))
+    p_l = P.point_limbs(pp)
+    ks = [int(rng.integers(1, 2**63)) * int(rng.integers(1, 2**63))
+          for _ in range(B)]
+    k_l = SM.pack_scalars(curve, ks)
+
+    @jax.jit
+    def smul(pl, kl):
+        return P.point_limbs(P.steady(
+            SM.scalar_mul(P.point_from_limbs(curve, pl), kl)))
+
+    chain = lambda out, a: (out, a[1])  # noqa: E731
+    t = time_fn(smul, p_l, k_l, iters=iters, chain=chain)
+    record("scalar_mul", curve.name, B, t, B / t, "muls/s")
+
+    @jax.jit
+    def mbg(kl):
+        return P.point_limbs(P.steady(SM.mul_by_generator(curve, kl)))
+
+    chain = lambda out, a: (a[0] ^ _chain_tweak(out),)  # noqa: E731
+    t = time_fn(mbg, k_l, iters=iters, chain=chain)
+    record("mul_by_generator", curve.name, B, t, B / t, "muls/s")
+
+    k2_l = SM.pack_scalars(curve, [k + 7 for k in ks])
+
+    @jax.jit
+    def lin(pl, k1, k2):
+        Q = P.point_from_limbs(curve, pl)
+        Gb = P.generator(curve, Q.batch_shape)
+        return P.point_limbs(P.steady(SM.lincomb([(Gb, k1), (Q, k2)])))
+
+    chain = lambda out, a: (out, a[1], a[2])  # noqa: E731
+    t = time_fn(lin, p_l, k_l, k2_l, iters=iters, chain=chain)
+    record("lincomb_2term", curve.name, B, t, B / t, "lincombs/s")
+
+
+def bench_ecdsa(name, B=4096, iters=3):
+    """End-to-end sign/verify: host prep (RFC 6979, word packing) + device
+    cores + D2H. On this dev box the host<->device tunnel dominates; the
+    device-core time is visible in the lincomb sub-bench."""
+    import random
+    from tpu_ecc.curves.specs import get_curve
+    from tpu_ecc.protocols import ecdsa
+
+    c = get_curve(name)
+    sk = ecdsa.SigningKey.random(name, random.Random(5))
+    vk = sk.verifying_key()
+    rng = np.random.default_rng(3)
+    zs = [int.from_bytes(rng.bytes(32), "big") % c.n for _ in range(B)]
+    sigs = ecdsa.sign_batch(c, [sk.d] * B, zs)        # warmup + compile
+    rs = [(r, s) for (r, s, _) in sigs]
+    assert all(ecdsa.verify_batch(c, [vk.point] * B, zs, rs))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ecdsa.sign_batch(c, [sk.d] * B, zs)
+    t = (time.perf_counter() - t0) / iters
+    record("ecdsa_sign_e2e", name, B, t, B / t, "sigs/s")
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ecdsa.verify_batch(c, [vk.point] * B, zs, rs)
+    t = (time.perf_counter() - t0) / iters
+    record("ecdsa_verify_e2e", name, B, t, B / t, "verifies/s")
+
+
+def bench_msm(curve, log_n=20, w=13, lanes=8192, iters=3):
+    """Pippenger MSM at 2^log_n points (the BASELINE.md north-star shape)."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_ecc.ops import fe as F
+    from tpu_ecc.ops import points as P
+    from tpu_ecc.parallel import msm as M
+    from tpu_ecc.utils import ec_host as H
+    from tpu_ecc.utils.bigint import int_to_limbs
+
+    N = 1 << log_n
+    f, s = curve.field, curve.scalar
+    G = H.aff_generator(curve)
+    rng = np.random.default_rng(4)
+    base = [H.aff_mul(curve, int(k), G) for k in rng.integers(1, 2**31, 8)]
+    xs8 = np.array([int_to_limbs(f.encode_int(p[0]), f.n_limbs, f.limb_bits)
+                    for p in base], np.uint32).T   # [n, 8]
+    ys8 = np.array([int_to_limbs(f.encode_int(p[1]), f.n_limbs, f.limb_bits)
+                    for p in base], np.uint32).T
+    xs_l = jnp.asarray(np.tile(xs8, N // 8))
+    ys_l = jnp.asarray(np.tile(ys8, N // 8))
+    inf = jnp.zeros((N,), bool)
+    # random ~full-width scalars, generated directly in limb form (no host
+    # bigint loop at N=2^20): uniform limbs below the top limb keep k < n
+    k_np = rng.integers(0, 1 << s.limb_bits, (s.n_limbs, N)).astype(np.uint32)
+    k_np[-1] = 0
+    k_l = jnp.asarray(k_np)
+
+    kern = jax.jit(lambda a, b, c, d: P.point_limbs(M.msm_pippenger(
+        curve, F.fe_steady(f, a), F.fe_steady(f, b), c, d, w=w, lanes=lanes)))
+    out = kern(xs_l, ys_l, inf, k_l)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        k_l = k_l ^ _chain_tweak(out)
+        out = kern(xs_l, ys_l, inf, k_l)
+    out.block_until_ready()
+    t = (time.perf_counter() - t0) / iters
+    record(f"msm_pippenger_2^{log_n}", curve.name, N, t, N / t, "points/s")
+    return N / t
+
+
+def main():
+    full = "--full" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+
+    from tpu_ecc.curves.specs import get_curve
+
+    k256 = get_curve("secp256k1")
+    B = int(args[0]) if args else 8192
+    adds_per_sec = headline(k256, B=B)
+
+    if full:
+        for name in ("secp256k1", "p256", "p384"):
+            bench_field(get_curve(name))
+        for name in ("secp256k1", "p256"):
+            bench_scalarmul(get_curve(name))
+        for name in ("secp256k1", "p256"):
+            bench_ecdsa(name)
+        bench_msm(k256, log_n=20)
+        import jax
+        payload = {
+            "hardware": str(jax.devices()[0]),
+            "jax": jax.__version__,
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "benches": RESULTS,
+        }
+        with open(os.path.join(_REPO, "BENCHES.json"), "w") as fh:
+            json.dump(payload, fh, indent=1)
+        print(f"wrote BENCHES.json ({len(RESULTS)} benches)", file=sys.stderr)
+
     print(json.dumps({
         "metric": "secp256k1 batched point-adds/s/chip",
         "value": round(adds_per_sec, 1),

@@ -11,7 +11,10 @@ if "host_platform_device_count" not in _flags:
 # WRITES segfaults this XLA build, so writes are effectively disabled here
 # (dev scripts may still populate the cache; a crashed script is rerunnable,
 # a crashed suite is not).
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax-cpu")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".cache", "jax"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1000000000"
 

@@ -65,12 +65,74 @@ def test_sign_verify_roundtrip_batch(name, rng):
 
 
 def test_recovery_k256(rng):
+    """Batched device recovery: sign a batch, recover every key; bad recid
+    and identity-x inputs return None."""
     c = get_curve("secp256k1")
-    d = rng.randrange(1, c.n)
-    z = rng.randrange(c.n)
-    (r, s, recid), = ecdsa.sign_batch(c, [d], [z])
-    Q = H.aff_mul(c, d, H.aff_generator(c))
-    assert ecdsa.recover_public_key(c, z, r, s, recid) == Q
+    B = 4
+    ds = [rng.randrange(1, c.n) for _ in range(B)]
+    zs = [rng.randrange(c.n) for _ in range(B)]
+    sigs = ecdsa.sign_batch(c, ds, zs)
+    pubs = [H.aff_mul(c, d, H.aff_generator(c)) for d in ds]
+    got = ecdsa.recover_batch(c, zs, sigs)
+    assert got == pubs
+    # flipped parity recovers a DIFFERENT valid key (or None), never the original
+    r, s, recid = sigs[0]
+    other = ecdsa.recover_public_key(c, zs[0], r, s, recid ^ 1)
+    assert other != pubs[0]
+    # out-of-range r rejected host-side
+    assert ecdsa.recover_batch(c, [zs[0]], [(0, s, recid)]) == [None]
+
+
+def test_recovery_vectors_k256():
+    """The reference's signature recovery vectors (k256/src/ecdsa.rs:278-305):
+    sha256 digests, 64-byte signatures, recovery IDs 0 and 1."""
+    from tpu_ecc.encoding import sec1
+
+    c = get_curve("secp256k1")
+    vectors = [
+        ("021a7a569e91dbf60581509c7fc946d1003b60c7dee85299538db6353538d59574",
+         b"example message",
+         "ce53abb3721bafc561408ce8ff99c909f7f0b18a2f788649d6470162ab1aa032"
+         "3971edc523a6d6453f3fb6128d318d9db1a5ff3386feb1047d9816e780039d52", 0),
+        ("036d6caac248af96f6afa7f904f550253a0f3ef3f5aa2fe6838a95b216691468e2",
+         b"example message",
+         "46c05b6368a44b8810d79859441d819b8e7cdc8bfd371e35c53196f4bcacdb51"
+         "35c7facce2a97b95eacba8a586d87b7958aaf8368ab29cee481f76e871dbd9cb", 1),
+    ]
+    zs, sigs, want = [], [], []
+    for pk_hex, msg, sig_hex, recid in vectors:
+        sig = bytes.fromhex(sig_hex)
+        r = int.from_bytes(sig[:32], "big")
+        s = int.from_bytes(sig[32:], "big")
+        zs.append(ecdsa.digest_to_z(c, ecdsa.hash_msg(c, msg)))
+        sigs.append((r, s, recid))
+        want.append(sec1.decode_point(c, bytes.fromhex(pk_hex)))
+    assert ecdsa.recover_batch(c, zs, sigs) == want
+
+
+def test_ethereum_end_to_end():
+    """The reference's Ethereum end-to-end example (k256/src/ecdsa.rs:317-343):
+    RFC6979 HMAC-DRBG-SHA-256 nonce over a Keccak256 digest, low-s signature,
+    then public-key recovery round-trips."""
+    from tpu_ecc.utils.keccak import keccak256
+
+    c = get_curve("secp256k1")
+    sk = ecdsa.SigningKey.from_bytes(
+        "secp256k1",
+        bytes.fromhex("4c0883a69102937d6231471b5dbb6204fe5129617082792ae468d01a3f362318"))
+    msg = bytes.fromhex(
+        "e9808504e3b29200831e848094f0109fc8df283027b6285cc889f5aa624eac1f"
+        "55843b9aca0080018080")
+    digest = keccak256(msg)
+    r, s, recid = sk.sign_prehash(digest)
+    want = bytes.fromhex(
+        "c9cf86333bcb065d140032ecaab5d9281bde80f21b9687b3e94161de42d51895"
+        "727a108a0b8d101465414033c3f705a9c7b826e596766046ee1183dbc8aeaa68")
+    assert r.to_bytes(32, "big") + s.to_bytes(32, "big") == want
+    assert recid == 0
+    z = ecdsa.digest_to_z(c, digest)
+    assert ecdsa.recover_public_key(c, z, r, s, recid) == sk.verifying_key().point
+    assert ecdsa.verify_batch(c, [sk.verifying_key().point], [z], [(r, s)]) == [True]
 
 
 def _run_wycheproof(name, batch=64):

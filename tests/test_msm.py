@@ -38,6 +38,23 @@ def test_msm_zero_and_identity(rng):
     assert got is None
 
 
+def test_msm_pippenger(rng):
+    """Bucketed Pippenger kernel vs oracle, incl. zero digits and the
+    single-bucket-spans-all-lanes edge."""
+    c = get_curve("secp256k1")
+    G = H.aff_generator(c)
+    base = [H.aff_mul(c, rng.randrange(1, c.n), G) for _ in range(8)]
+    N = 128
+    pts = [base[i % 8] for i in range(N)]
+    ks = [rng.randrange(0, 1 << 16) for _ in range(N)]
+    ks[3] = ks[5] = 0
+    got = M.msm(c, pts, ks, method="pippenger", w=5, lanes=16, scalar_bits=16)
+    assert got == _host_msm(c, pts, ks)
+    ks2 = [7] * N   # every point in one bucket, runs crossing all lanes
+    got = M.msm(c, pts, ks2, method="pippenger", w=5, lanes=16, scalar_bits=16)
+    assert got == _host_msm(c, pts, ks2)
+
+
 def test_msm_sharded_mesh(rng):
     """Points sharded over 8 virtual devices; replicated result == oracle."""
     c = get_curve("secp256k1")
@@ -48,6 +65,22 @@ def test_msm_sharded_mesh(rng):
     pts = [base[i % 8] for i in range(N)]
     ks = [rng.randrange(0, 1 << 16) for _ in range(N)]
     got = M.msm(c, pts, ks, mesh=mesh, axis="dp", terms=2, scalar_bits=16)
+    assert got == _host_msm(c, pts, ks)
+
+
+@pytest.mark.slow
+def test_msm_sharded_pippenger(rng):
+    """The production large-N path: per-device Pippenger partials + mesh fold
+    (same program the driver dryrun compiles)."""
+    c = get_curve("secp256k1")
+    mesh = collectives.make_mesh(8, "dp")
+    G = H.aff_generator(c)
+    N = 2 * 128 * 8
+    base = [H.aff_mul(c, rng.randrange(1, c.n), G) for _ in range(8)]
+    pts = [base[i % 8] for i in range(N)]
+    ks = [rng.randrange(0, 1 << 16) for _ in range(N)]
+    got = M.msm(c, pts, ks, mesh=mesh, axis="dp", method="pippenger",
+                w=8, lanes=32, scalar_bits=16)
     assert got == _host_msm(c, pts, ks)
 
 

@@ -1,5 +1,17 @@
-"""Pallas kernel path: correctness via interpret mode on CPU (the compiled
-path is exercised on real TPU; see PERF.md)."""
+"""Pallas kernel path tests.
+
+The KFE kernel engine (fe_kernel.py) shares its bound ledger and formulas
+with the graph path, so correctness is pinned in three layers:
+1. KFE field ops vs fe.py vs host ints (fast, default).
+2. The kernel-body point formulas (_KADD/_KDOUBLE on KFE) vs the host
+   oracle at graph level (default; compiles the real kernel computation
+   without the Mosaic wrapper).
+3. Full pallas_call in interpret mode (slow-marked: the unrolled kernel
+   jaxpr is ~20x the graph path's and interpret emulation crawls on CPU).
+The compiled Mosaic path itself is exercised on real TPU by
+tools/bench_pallas.py, which asserts bit-equality against the XLA path
+(results recorded in PERF.md).
+"""
 
 import functools
 
@@ -10,13 +22,80 @@ import pytest
 
 from tpu_ecc.curves.specs import get_curve
 from tpu_ecc.ops import fe as F
+from tpu_ecc.ops import fe_kernel as K
 from tpu_ecc.ops import points as P
 from tpu_ecc.ops import pallas_kernels as PK
 from tpu_ecc.utils import ec_host as H
 
 
+def _kfe_of(spec, fe: F.FE, B: int) -> K.KFE:
+    return K.kfe_from_rows(
+        spec, [fe.limbs[i].reshape(1, B) for i in range(spec.n_limbs)])
+
+
+def _ints_of(spec, kfe: K.KFE, B: int):
+    kfe = K.ksteady(kfe)
+    arr = jnp.stack([r.reshape(B) for r in kfe.limbs])
+    return F.fe_to_ints(F.FE(arr, spec, kfe.bound, kfe.vmax))
+
+
+def test_kfe_matches_fe(rng):
+    """KFE field ops == fe ops == host ints (graph level, no pallas)."""
+    c = get_curve("secp256k1")
+    s = c.field
+    B = 8
+    av = [rng.randrange(s.p) for _ in range(B)]
+    bv = [rng.randrange(s.p) for _ in range(B)]
+    ka = _kfe_of(s, F.fe_from_ints(s, av), B)
+    kb = _kfe_of(s, F.fe_from_ints(s, bv), B)
+    ints = lambda kfe: _ints_of(s, kfe, B)  # noqa: E731
+
+    assert ints(ka * kb) == [(x * y) % s.p for x, y in zip(av, bv)]
+    assert ints(ka + kb) == [(x + y) % s.p for x, y in zip(av, bv)]
+    assert ints(ka - kb) == [(x - y) % s.p for x, y in zip(av, bv)]
+    assert ints(-ka) == [(-x) % s.p for x in av]
+    assert ints(ka.square()) == [(x * x) % s.p for x in av]
+    assert ints(K.kmul_small(ka, 21)) == [(21 * x) % s.p for x in av]
+    # deep expression (exercises auto-carry points)
+    deep = (ka * kb + ka.square() - kb) * ka
+    want = [((x * y + x * x - y) * x) % s.p for x, y in zip(av, bv)]
+    assert ints(deep) == want
+
+
+@pytest.mark.parametrize("name", ["secp256k1", "p192"])
+def test_kernel_formulas(name, rng):
+    """The kernel-body RCB formulas on KFE vs the host oracle (a0 via
+    secp256k1, a_minus3 via p192 — the small solinas representatives)."""
+    c = get_curve(name)
+    s = c.field
+    B = 8
+    ks = [rng.randrange(1, c.n) for _ in range(B)]
+    pts = [H.aff_mul(c, k, H.aff_generator(c)) for k in ks]
+    xs = F.fe_from_ints(s, [p_[0] for p_ in pts])
+    ys = F.fe_from_ints(s, [p_[1] for p_ in pts])
+    one = F.fone(s, (B,))
+    A = (_kfe_of(s, xs, B), _kfe_of(s, ys, B), _kfe_of(s, one, B))
+    g = P.generator(c, (B,))
+    Bv = (_kfe_of(s, g.x, B), _kfe_of(s, g.y, B), _kfe_of(s, one, B))
+
+    X3, Y3, Z3 = PK._KADD[c.strategy](c, *A, *Bv)
+    zi = [pow(z, -1, c.p) for z in _ints_of(s, Z3, B)]
+    gx = [(x * i) % c.p for x, i in zip(_ints_of(s, X3, B), zi)]
+    gy = [(y * i) % c.p for y, i in zip(_ints_of(s, Y3, B), zi)]
+    for i in range(B):
+        assert (gx[i], gy[i]) == H.aff_mul(c, ks[i] + 1, H.aff_generator(c))
+
+    X3, Y3, Z3 = PK._KDOUBLE[c.strategy](c, *A)
+    zi = [pow(z, -1, c.p) for z in _ints_of(s, Z3, B)]
+    gx = [(x * i) % c.p for x, i in zip(_ints_of(s, X3, B), zi)]
+    gy = [(y * i) % c.p for y, i in zip(_ints_of(s, Y3, B), zi)]
+    for i in range(B):
+        assert (gx[i], gy[i]) == H.aff_mul(c, 2 * ks[i], H.aff_generator(c))
+
+
 @pytest.mark.slow
 def test_padd_kernel_interpret(rng):
+    """Full pallas_call in interpret mode (secp256k1, one block)."""
     from jax.experimental import pallas as pl
 
     c = get_curve("secp256k1")
@@ -27,14 +106,14 @@ def test_padd_kernel_interpret(rng):
     pa = P.from_affine_ints(c, [p_[0] for p_ in pts] * (B // 4),
                             [p_[1] for p_ in pts] * (B // 4))
     g = P.generator(c, (B,))
-    a_l = P.point_limbs(P.steady(pa))
-    b_l = P.point_limbs(g)
+    a_l = P.point_limbs(P.steady(pa)).reshape(3, n, B // 128, 128)
+    b_l = P.point_limbs(g).reshape(3, n, B // 128, 128)
 
     out = pl.pallas_call(
         functools.partial(PK._padd_kernel_body, c),
-        out_shape=jax.ShapeDtypeStruct((3, n, B), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((3, n, B // 128, 128), jnp.uint32),
         interpret=True,
-    )(a_l, b_l)
+    )(a_l, b_l).reshape(3, n, B)
     x, y, inf = jax.jit(P.to_affine)(P.point_from_limbs(c, out))
     xs, ys = F.fe_to_ints(x), F.fe_to_ints(y)
     assert not np.asarray(inf).any()

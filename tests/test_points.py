@@ -85,18 +85,30 @@ def test_add_vectors(name):
     else:
         G = H.aff_generator(c)
         want = [H.aff_mul(c, k, G) for k in range(1, 21)]
-    n = len(want)
+    f = c.field
     g = P.generator(c, (1,))
+    # stack the expected points as scan inputs so the jitted program holds
+    # ONE mixed-add + compare body instead of a 20-step unrolled chain
+    # (compile-latency discipline, COMPILE.md)
+    wxs = jnp.moveaxis(F.fe_from_ints(f, [w[0] for w in want]).limbs, -1, 0)
+    wys = jnp.moveaxis(F.fe_from_ints(f, [w[1] for w in want]).limbs, -1, 0)
 
     @jax.jit
     def chain(g):
-        acc = g
-        oks = []
-        for k in range(n):
-            oks.append(proj_matches(acc, want[k]))
-            if k + 1 < n:
-                acc = P.padd_mixed(acc, g.x, g.y)
-        return jnp.stack(oks)
+        acc0 = P.point_limbs(P.steady(g))
+
+        def body(acc_l, w):
+            wx_r, wy_r = w
+            pt = P.point_from_limbs(c, acc_l)
+            wx = F.FE(wx_r[:, None], f, f.mask, f.p - 1)
+            wy = F.FE(wy_r[:, None], f, f.mask, f.p - 1)
+            ok = (F.feq(pt.x, F.fmul(wx, pt.z)) & F.feq(pt.y, F.fmul(wy, pt.z))
+                  & jnp.logical_not(P.is_identity(pt)))
+            nxt = P.point_limbs(P.steady(P.padd_mixed(pt, g.x, g.y)))
+            return nxt, ok
+
+        _, oks = jax.lax.scan(body, acc0, (wxs, wys))
+        return oks
 
     oks = np.asarray(chain(g))
     assert oks.all(), f"{name}: first bad k={1 + int(np.argmin(oks.all(1)))}"

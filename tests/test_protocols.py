@@ -47,6 +47,74 @@ BIP340_VECTORS = [
         "5831AAEED7B44BB74E5EAB94BA9D4294C49BCF2A60728D8B4C200F50DD313C1B"
         "AB745879A5AD954A72C45A91C3A51D3C7ADEA98D82F8481E0E1E03674A6F3FB7",
     ),
+    (   # vector 3: fails if msg is reduced modulo p or n
+        "0B432B2677937381AEF05BB02A66ECD012773062CF3FA2549E44F58ED2401710",
+        "FFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFF",
+        "FFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFF",
+        "7EB0509757E246F19449885651611CB965ECC1A187DD51B64FDA1EDC9637D5EC"
+        "97582B9CB13DB3933705B32BA982AF5AF25FD78881EBB32771FC5922EFC66EA3",
+    ),
+]
+
+# BIP340 official verification vectors 4-14 incl. all negative cases
+# (k256/src/schnorr.rs:306-430 carries the same set):
+# (index, pubkey_x, msg, sig, valid, why)
+BIP340_VERIFY_VECTORS = [
+    (4, "D69C3509BB99E412E68B0FE8544E72837DFA30746D8BE2AA65975F29D22DC7B9",
+     "4DF3C3F68FCC83B27E9D42C90431A72499F17875C81A599B566C9889B9696703",
+     "00000000000000000000003B78CE563F89A0ED9414F5AA28AD0D96D6795F9C63"
+     "76AFB1548AF603B3EB45C9F8207DEE1060CB71C04E80F593060B07D28308D7F4",
+     True, "valid (small r)"),
+    (5, "EEFDEA4CDB677750A420FEE807EACF21EB9898AE79B9768766E4FAA04A2D4A34",
+     "243F6A8885A308D313198A2E03707344A4093822299F31D0082EFA98EC4E6C89",
+     "6CFF5C3BA86C69EA4B7376F31A9BCB4F74C1976089B2D9963DA2E5543E177769"
+     "69E89B4C5564D00349106B8497785DD7D1D713A8AE82B32FA79D5F7FC407D39B",
+     False, "public key not on curve"),
+    (6, "DFF1D77F2A671C5F36183726DB2341BE58FEAE1DA2DECED843240F7B502BA659",
+     "243F6A8885A308D313198A2E03707344A4093822299F31D0082EFA98EC4E6C89",
+     "FFF97BD5755EEEA420453A14355235D382F6472F8568A18B2F057A1460297556"
+     "3CC27944640AC607CD107AE10923D9EF7A73C643E166BE5EBEAFA34B1AC553E2",
+     False, "has_even_y(R) is false"),
+    (7, "DFF1D77F2A671C5F36183726DB2341BE58FEAE1DA2DECED843240F7B502BA659",
+     "243F6A8885A308D313198A2E03707344A4093822299F31D0082EFA98EC4E6C89",
+     "1FA62E331EDBC21C394792D2AB1100A7B432B013DF3F6FF4F99FCB33E0E1515F"
+     "28890B3EDB6E7189B630448B515CE4F8622A954CFE545735AAEA5134FCCDB2BD",
+     False, "negated message"),
+    (8, "DFF1D77F2A671C5F36183726DB2341BE58FEAE1DA2DECED843240F7B502BA659",
+     "243F6A8885A308D313198A2E03707344A4093822299F31D0082EFA98EC4E6C89",
+     "6CFF5C3BA86C69EA4B7376F31A9BCB4F74C1976089B2D9963DA2E5543E177769"
+     "961764B3AA9B2FFCB6EF947B6887A226E8D7C93E00C5ED0C1834FF0D0C2E6DA6",
+     False, "negated s value"),
+    (9, "DFF1D77F2A671C5F36183726DB2341BE58FEAE1DA2DECED843240F7B502BA659",
+     "243F6A8885A308D313198A2E03707344A4093822299F31D0082EFA98EC4E6C89",
+     "0000000000000000000000000000000000000000000000000000000000000000"
+     "123DDA8328AF9C23A94C1FEECFD123BA4FB73476F0D594DCB65C6425BD186051",
+     False, "sG - eP infinite (x(inf) as 0)"),
+    (10, "DFF1D77F2A671C5F36183726DB2341BE58FEAE1DA2DECED843240F7B502BA659",
+     "243F6A8885A308D313198A2E03707344A4093822299F31D0082EFA98EC4E6C89",
+     "0000000000000000000000000000000000000000000000000000000000000001"
+     "7615FBAF5AE28864013C099742DEADB4DBA87F11AC6754F93780D5A1837CF197",
+     False, "sG - eP infinite (x(inf) as 1)"),
+    (11, "DFF1D77F2A671C5F36183726DB2341BE58FEAE1DA2DECED843240F7B502BA659",
+     "243F6A8885A308D313198A2E03707344A4093822299F31D0082EFA98EC4E6C89",
+     "4A298DACAE57395A15D0795DDBFD1DCB564DA82B0F269BC70A74F8220429BA1D"
+     "69E89B4C5564D00349106B8497785DD7D1D713A8AE82B32FA79D5F7FC407D39B",
+     False, "sig[0:32] not an x on curve"),
+    (12, "DFF1D77F2A671C5F36183726DB2341BE58FEAE1DA2DECED843240F7B502BA659",
+     "243F6A8885A308D313198A2E03707344A4093822299F31D0082EFA98EC4E6C89",
+     "FFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEFFFFFC2F"
+     "69E89B4C5564D00349106B8497785DD7D1D713A8AE82B32FA79D5F7FC407D39B",
+     False, "sig[0:32] equals field size"),
+    (13, "DFF1D77F2A671C5F36183726DB2341BE58FEAE1DA2DECED843240F7B502BA659",
+     "243F6A8885A308D313198A2E03707344A4093822299F31D0082EFA98EC4E6C89",
+     "6CFF5C3BA86C69EA4B7376F31A9BCB4F74C1976089B2D9963DA2E5543E177769"
+     "FFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141",
+     False, "sig[32:64] equals curve order"),
+    (14, "FFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEFFFFFC30",
+     "243F6A8885A308D313198A2E03707344A4093822299F31D0082EFA98EC4E6C89",
+     "6CFF5C3BA86C69EA4B7376F31A9BCB4F74C1976089B2D9963DA2E5543E177769"
+     "69E89B4C5564D00349106B8497785DD7D1D713A8AE82B32FA79D5F7FC407D39B",
+     False, "pubkey x exceeds field size"),
 ]
 
 
@@ -64,7 +132,7 @@ def test_bip340_sign_vectors():
 def test_bip340_verify():
     c = get_curve("secp256k1")
     G = H.aff_generator(c)
-    pxs, msgs, sigs, expect = [], [], [], []
+    pxs, msgs, sigs, expect, idxs = [], [], [], [], []
     for skh, auxh, msgh, sigh in BIP340_VECTORS:
         d = int(skh, 16)
         Pt = H.aff_mul(c, d, G)
@@ -72,6 +140,7 @@ def test_bip340_verify():
         msgs.append(bytes.fromhex(msgh))
         sigs.append(bytes.fromhex(sigh))
         expect.append(True)
+        idxs.append("sign-vec")
     # tampered signature must fail
     bad = bytearray(sigs[0])
     bad[-1] ^= 1
@@ -79,7 +148,17 @@ def test_bip340_verify():
     msgs.append(msgs[0])
     sigs.append(bytes(bad))
     expect.append(False)
-    assert schnorr.verify_batch(c, pxs, msgs, sigs) == expect
+    idxs.append("tampered")
+    # full official verify set, incl. every negative vector (5-14)
+    for idx, pxh, msgh, sigh, valid, why in BIP340_VERIFY_VECTORS:
+        pxs.append(int(pxh, 16))
+        msgs.append(bytes.fromhex(msgh))
+        sigs.append(bytes.fromhex(sigh))
+        expect.append(valid)
+        idxs.append(f"vec{idx}:{why}")
+    got = schnorr.verify_batch(c, pxs, msgs, sigs)
+    for g, e, label in zip(got, expect, idxs):
+        assert g == e, label
 
 
 def test_sm2_roundtrip(rng):
@@ -151,16 +230,60 @@ def test_expand_message_xmd():
                         "02f53a8a0d605615")
 
 
+# RFC 9380 official vectors for the wide curves (J.2.1 / J.3.1; the reference
+# carries the same at p384/src/arithmetic/hash2curve.rs:145-200 and
+# p521/src/arithmetic/hash2curve.rs:149-199). All 5 messages each.
+_Q128 = b"q128_" + b"q" * 128
+_A512 = b"a512_" + b"a" * 512
+H2C_WIDE_VECTORS = {
+    "p384": {
+        "dst": b"QUUX-V01-CS02-with-P384_XMD:SHA-384_SSWU_RO_",
+        "cases": [
+            (b"", "eb9fe1b4f4e14e7140803c1d99d0a93cd823d2b024040f9c067a8eca1f5a2eeac9ad604973527a356f3fa3aeff0e4d83",
+             "0c21708cff382b7f4643c07b105c2eaec2cead93a917d825601e63c8f21f6abd9abc22c93c2bed6f235954b25048bb1a"),
+            (b"abc", "e02fc1a5f44a7519419dd314e29863f30df55a514da2d655775a81d413003c4d4e7fd59af0826dfaad4200ac6f60abe1",
+             "01f638d04d98677d65bef99aef1a12a70a4cbb9270ec55248c04530d8bc1f8f90f8a6a859a7c1f1ddccedf8f96d675f6"),
+            (b"abcdef0123456789", "bdecc1c1d870624965f19505be50459d363c71a699a496ab672f9a5d6b78676400926fbceee6fcd1780fe86e62b2aa89",
+             "57cf1f99b5ee00f3c201139b3bfe4dd30a653193778d89a0accc5e0f47e46e4e4b85a0595da29c9494c1814acafe183c"),
+            (_Q128, "03c3a9f401b78c6c36a52f07eeee0ec1289f178adf78448f43a3850e0456f5dd7f7633dd31676d990eda32882ab486c0",
+             "cc183d0d7bdfd0a3af05f50e16a3f2de4abbc523215bf57c848d5ea662482b8c1f43dc453a93b94a8026db58f3f5d878"),
+            (_A512, "7b18d210b1f090ac701f65f606f6ca18fb8d081e3bc6cbd937c5604325f1cdea4c15c10a54ef303aabf2ea58bd9947a4",
+             "ea857285a33abb516732915c353c75c576bf82ccc96adb63c094dde580021eddeafd91f8c0bfee6f636528f3d0c47fd2"),
+        ],
+    },
+    "p521": {
+        "dst": b"QUUX-V01-CS02-with-P521_XMD:SHA-512_SSWU_RO_",
+        "cases": [
+            (b"", "00fd767cebb2452030358d0e9cf907f525f50920c8f607889a6a35680727f64f4d66b161fafeb2654bea0d35086bec0a10b30b14adef3556ed9f7f1bc23cecc9c088",
+             "0169ba78d8d851e930680322596e39c78f4fe31b97e57629ef6460ddd68f8763fd7bd767a4e94a80d3d21a3c2ee98347e024fc73ee1c27166dc3fe5eeef782be411d"),
+            (b"abc", "002f89a1677b28054b50d15e1f81ed6669b5a2158211118ebdef8a6efc77f8ccaa528f698214e4340155abc1fa08f8f613ef14a043717503d57e267d57155cf784a4",
+             "010e0be5dc8e753da8ce51091908b72396d3deed14ae166f66d8ebf0a4e7059ead169ea4bead0232e9b700dd380b316e9361cfdba55a08c73545563a80966ecbb86d"),
+            (b"abcdef0123456789", "006e200e276a4a81760099677814d7f8794a4a5f3658442de63c18d2244dcc957c645e94cb0754f95fcf103b2aeaf94411847c24187b89fb7462ad3679066337cbc4",
+             "001dd8dfa9775b60b1614f6f169089d8140d4b3e4012949b52f98db2deff3e1d97bf73a1fa4d437d1dcdf39b6360cc518d8ebcc0f899018206fded7617b654f6b168"),
+            (_Q128, "01b264a630bd6555be537b000b99a06761a9325c53322b65bdc41bf196711f9708d58d34b3b90faf12640c27b91c70a507998e55940648caa8e71098bf2bc8d24664",
+             "01ea9f445bee198b3ee4c812dcf7b0f91e0881f0251aab272a12201fd89b1a95733fd2a699c162b639e9acdcc54fdc2f6536129b6beb0432be01aa8da02df5e59aaa"),
+            (_A512, "00c12bc3e28db07b6b4d2a2b1167ab9e26fc2fa85c7b0498a17b0347edf52392856d7e28b8fa7a2dd004611159505835b687ecf1a764857e27e9745848c436ef3925",
+             "01cd287df9a50c22a9231beb452346720bb163344a41c5f5a24e8335b6ccc595fd436aea89737b1281aecb411eb835f0b939073fdd1dd4d5a2492e91ef4a3c55bcbd"),
+        ],
+    },
+}
+
+
+@pytest.mark.parametrize("name", ["p384", "p521"])
+def test_hash_to_curve_rfc9380_wide(name):
+    """RFC 9380 official final-point vectors for the wide curves (bit-exact)."""
+    c = get_curve(name)
+    spec = H2C_WIDE_VECTORS[name]
+    msgs = [m for m, _, _ in spec["cases"]]
+    got = hash2curve.hash_to_curve(c, msgs, spec["dst"])
+    for (msg, wx, wy), (gx, gy) in zip(spec["cases"], got):
+        assert gx == int(wx, 16) and gy == int(wy, 16), f"{name} msg={msg[:16]!r}"
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("name", ["p384", "p521"])
-def test_hash_to_curve_oncurve(name):
-    """Wide-field h2c: on-curve, deterministic, message-separating."""
+def test_hash_to_scalar_range(name):
     c = get_curve(name)
     dst = b"QUUX-V01-CS02-test"
-    pts = hash2curve.hash_to_curve(c, [b"", b"abc", b"abc"], dst)
-    for x, y in pts:
-        assert H.on_curve(c, (x, y))
-    assert pts[1] == pts[2] and pts[0] != pts[1]
-    # hash_to_scalar stays in range
     for s in hash2curve.hash_to_scalar(c, [b"x", b"y"], dst):
         assert 0 <= s < c.n

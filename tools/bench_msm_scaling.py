@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""MSM scaling evidence (BASELINE.md north star: 2^20 points, >=90% linear
+scaling). Real multi-host hardware is not reachable from this box, so the
+scaling case is made in three measurable parts (PERF.md):
+1. throughput vs N on one chip (this script): points/s should be ~flat from
+   2^17..2^21 — per-point work is constant, so per-device partial MSMs
+   scale linearly in shard size;
+2. the sharded program's communication volume: one all_gather of a single
+   [3, n_limbs] point per device (~240 B) + a log2(D)-step replicated fold —
+   microseconds on ICI vs ~10ms of compute at 2^20/8 per device;
+3. the 8-virtual-device mesh run (driver dryrun / tests) validating the
+   actual collective program end-to-end.
+Run on the real chip: python tools/bench_msm_scaling.py [w] [lanes]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_REPO, ".cache", "jax-tpu"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from tpu_ecc.curves.specs import get_curve
+    from tpu_ecc.ops import fe as F
+    from tpu_ecc.ops import points as P
+    from tpu_ecc.parallel import msm as M
+    from tpu_ecc.utils import ec_host as H
+    from tpu_ecc.utils.bigint import int_to_limbs
+
+    w = int(sys.argv[1]) if len(sys.argv) > 1 else 13
+    lanes = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+    curve = get_curve("secp256k1")
+    f, s = curve.field, curve.scalar
+    print("device:", jax.devices()[0], f"w={w} lanes={lanes}")
+
+    G = H.aff_generator(curve)
+    rng = np.random.default_rng(4)
+    base = [H.aff_mul(curve, int(k), G) for k in rng.integers(1, 2**31, 8)]
+    xs8 = np.array([int_to_limbs(f.encode_int(p[0]), f.n_limbs, f.limb_bits)
+                    for p in base], np.uint32).T
+    ys8 = np.array([int_to_limbs(f.encode_int(p[1]), f.n_limbs, f.limb_bits)
+                    for p in base], np.uint32).T
+
+    kern = jax.jit(
+        lambda a, b, c, d: P.point_limbs(M.msm_pippenger(
+            curve, F.fe_steady(f, a), F.fe_steady(f, b), c, d,
+            w=w, lanes=lanes)),
+        static_argnums=())
+
+    for log_n in (17, 18, 19, 20, 21):
+        N = 1 << log_n
+        xs_l = jnp.asarray(np.tile(xs8, N // 8))
+        ys_l = jnp.asarray(np.tile(ys8, N // 8))
+        inf = jnp.zeros((N,), bool)
+        k_np = rng.integers(0, 1 << s.limb_bits,
+                            (s.n_limbs, N)).astype(np.uint32)
+        k_np[-1] = 0
+        k_l = jnp.asarray(k_np)
+        out = kern(xs_l, ys_l, inf, k_l)
+        out.block_until_ready()          # compile + warmup
+        iters = 3
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            k_l = k_l ^ (out[0, 0, 0] >> np.uint32(31))   # dependency chain
+            out = kern(xs_l, ys_l, inf, k_l)
+        out.block_until_ready()
+        t = (time.perf_counter() - t0) / iters
+        print(f"2^{log_n}: {t*1e3:8.2f} ms  {N/t:.3e} points/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,32 @@
+#!/bin/bash
+# CI-equivalent gate (the reference's per-crate .github workflows analogue).
+# What must be green before a round ships:
+#   tools/ci.sh            default matrix (chunked) + multi-chip dryrun
+#   tools/ci.sh --slow     adds the full conformance matrix (-m slow)
+# Benches (real chip): python bench.py --full  (records BENCHES.json)
+set -u
+cd "$(dirname "$0")/.."
+fail=0
+
+echo "== default test matrix (chunked per file; see tools/run_tests.sh) =="
+bash tools/run_tests.sh || fail=1
+grep -q "rc=[^0]" /tmp/tpu_ecc_tests/summary.txt && fail=1
+
+if [ "${1:-}" = "--slow" ]; then
+    echo "== slow conformance matrix =="
+    bash tools/run_tests.sh -m "slow" || fail=1
+    grep -q "rc=[^0]" /tmp/tpu_ecc_tests/summary.txt && fail=1
+fi
+
+echo "== multi-chip dryrun (8 virtual CPU devices) =="
+env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+    XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+    PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}" \
+    timeout 600 python -u -c "
+import __graft_entry__ as g
+g.dryrun_multichip(8)
+print('dryrun OK')
+" || fail=1
+
+[ $fail -eq 0 ] && echo "CI GREEN" || echo "CI RED"
+exit $fail

@@ -50,6 +50,10 @@ class CurveSpec:
     def field_bytes(self) -> int:
         return (self.field.bits + 7) // 8
 
+    @property
+    def scalar_bytes(self) -> int:
+        return (self.scalar.bits + 7) // 8
+
 
 def _strategy(a: int, p: int) -> str:
     if a == 0:

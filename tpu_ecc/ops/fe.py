@@ -264,14 +264,19 @@ def fe_steady(spec: FieldSpec, limbs: jax.Array) -> FE:
 def _slice_add(arr: jax.Array, start: int, upd: jax.Array) -> jax.Array:
     """arr with arr[start:start+len(upd)] += upd.
 
-    XLA path: dynamic-update-slice-style scatter-add (`.at[].add`) — fuses into
-    the surrounding elementwise graph. Pallas path: slices + concat (Mosaic
-    kernels cannot capture the scatter's index constants)."""
+    XLA path: zero-pad the update to arr's limb extent and add — a pure
+    elementwise pattern that both fuses fully and compiles ~1.6x faster than
+    the scatter-add (`.at[].add`) formulation it replaced (XLA:CPU expands
+    every scatter through ScatterExpander; measured on the sharded-MSM
+    program: 346s -> 212s). Pallas path: slices + concat (Mosaic kernels
+    cannot capture the scatter's index constants)."""
     m = upd.shape[0]
-    if start == 0 and m == arr.shape[0]:
+    n = arr.shape[0]
+    if start == 0 and m == n:
         return arr + upd
     if not PALLAS_MODE:
-        return arr.at[start:start + m].add(upd)
+        pads = [(start, n - start - m)] + [(0, 0)] * (arr.ndim - 1)
+        return arr + jnp.pad(upd, pads)
     parts = []
     if start:
         parts.append(arr[:start])

@@ -1,21 +1,32 @@
-"""Multi-scalar multiplication (MSM) with multi-device sharding.
+"""Multi-scalar multiplication (MSM): single-device kernels + mesh sharding.
 
 The reference has no MSM beyond slice lincomb (k256/src/arithmetic/mul.rs:326-340);
-this subsystem is new, designed TPU-first (SURVEY.md §2.8):
+this subsystem is new, designed TPU-first (SURVEY.md §2.8). Two kernels behind
+one `msm()` entry:
 
-- v1 kernel (this file): *chunked shared-doubling Straus*. Points are processed
-  in groups of T terms x B lanes; each group runs a windowed lincomb whose
-  doublings are shared across the T terms, each lane accumulating its own
-  partial sum; a final masked tree-reduction folds the B lanes. Work/point ~
-  64*(4+T)/(T*B-per-group) lane point-ops — fully batched, no data-dependent
-  memory traffic, constant-time by construction.
-- Multi-device: the point axis is sharded over a mesh axis via shard_map; each
-  device computes its shard's partial MSM; partials are combined with an
-  all_gather + local point-add tree (EC addition is not an arithmetic psum).
-  ICI carries 3*n_limbs*4 bytes per device — negligible.
+- *Straus* (small N): chunked shared-doubling lincomb. Points are processed in
+  groups of T terms x B lanes; each group runs a windowed lincomb whose
+  doublings are shared across the T terms; lane partials fold in one
+  log-depth tree. ~96 element point-ops/point at T=8.
+- *Pippenger* (large N): sorted/bucketed, restructured for SIMD lanes. Per
+  w-bit window: sort points by digit (uint32 key sort + one gather), then a
+  *chunked segmented scan* — each of L lanes serially accumulates a C=N/L
+  contiguous run of sorted points (1 element-add per point), with a log(L)
+  Hillis–Steele fix-up stitching runs that cross lane boundaries — then
+  scatter the run-end sums into the 2^w bucket array and reduce the buckets
+  with a suffix scan + tree sum (sum_b b*S_b = sum_{b>=1} suffix_b).
+  ~(ceil(bits/w) * (1 + eps)) element point-ops/point: ~21/pt for 256-bit
+  scalars at w=13 vs Straus's ~96/pt. Every step is full-width, log-depth,
+  and data-independent in *timing* (the sort permutation depends on scalar
+  digits; use Straus for secret scalars — Pippenger's domain is public-input
+  aggregation, where vartime is the reference convention too).
 
-A sorted/bucketed Pippenger (sort digits + segmented scan) is the planned v2
-for large N; the sharding/collective structure stays identical.
+Multi-device: the point axis is sharded over a mesh axis via jax.shard_map;
+each device computes its shard's partial MSM; the tiny per-device partials
+travel over ICI via one all_gather and every device folds them with the same
+log-depth tree (EC addition is not an arithmetic psum). Compile-time
+discipline: every repeated point-op lives inside a lax.scan body, so the
+traced program holds ~8 addition formulas total regardless of N or mesh size.
 """
 
 from __future__ import annotations
@@ -26,42 +37,60 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as PS
-from jax.experimental.shard_map import shard_map
 
 from ..curves.specs import CurveSpec
 from ..ops import fe as F
 from ..ops import points as P
 from ..ops import scalarmul as SM
+from ..ops.fe import U32
 from ..ops.points import Point
 
 
 def tree_reduce_points(pt: Point) -> Point:
-    """Fold the last batch axis of a point batch into one point (log2 levels).
-    The batch size must be a power of two; lanes hold identity padding."""
+    """Fold the last batch axis of a point batch into one point.
+
+    Hillis–Steele all-reduce: log2(B) rounds of `acc += roll(acc, -2^k)`
+    (one padd per scan step — a single traced addition formula regardless of
+    B). After the last round every lane holds the total; lane 0 is returned.
+    The batch size must be a power of two; padding lanes hold the identity.
+    """
     c = pt.curve
-    n = pt.batch_shape[-1]
-    assert n & (n - 1) == 0, "tree_reduce needs power-of-two lanes"
-    while n > 1:
-        n //= 2
-        lo = Point(_half(pt.x, 0, n), _half(pt.y, 0, n), _half(pt.z, 0, n), c)
-        hi = Point(_half(pt.x, n, n), _half(pt.y, n, n), _half(pt.z, n, n), c)
-        pt = P.steady(P.padd(lo, hi))
-    return pt
+    B = pt.batch_shape[-1]
+    assert B & (B - 1) == 0, "tree_reduce needs power-of-two lanes"
+    limbs = P.point_limbs(P.steady(pt))
+    if B > 1:
+        shifts = jnp.asarray([1 << i for i in range(B.bit_length() - 1)],
+                             jnp.int32)
+
+        def step(acc, s):
+            rolled = jnp.roll(acc, -s, axis=-1)
+            tot = P.padd(P.point_from_limbs(c, acc),
+                         P.point_from_limbs(c, rolled))
+            return P.point_limbs(P.steady(tot)), None
+
+        limbs, _ = jax.lax.scan(step, limbs, shifts)
+    return P.point_from_limbs(c, limbs[..., 0])
 
 
-def _half(fe: F.FE, start, size):
-    return F.FE(jax.lax.slice_in_dim(fe.limbs, start, start + size, axis=-1),
-                fe.spec, fe.bound, fe.vmax)
-
+# ---------------------------------------------------------------------------
+# Straus kernel (small N / secret scalars): shared-doubling chunked lincomb
+# ---------------------------------------------------------------------------
 
 def msm_local(curve: CurveSpec, xs, ys, inf_mask, k_limbs, terms: int = 8,
               scalar_bits=None) -> Point:
-    """MSM over one device's points: sum(k_i * P_i) -> a single point (batch ()).
+    """Straus MSM over one device's points -> single point (batch ()).
 
     xs/ys: FE with batch [N]; inf_mask: bool[N] identity markers (padding);
     k_limbs: uint32[ns, N] canonical scalars. N must be divisible by
     terms * lanes; the caller pads with identity + zero scalars.
     """
+    return tree_reduce_points(
+        msm_local_lanes(curve, xs, ys, inf_mask, k_limbs, terms, scalar_bits))
+
+
+def msm_local_lanes(curve: CurveSpec, xs, ys, inf_mask, k_limbs,
+                    terms: int = 8, scalar_bits=None) -> Point:
+    """Straus MSM partials: per-lane sums, batch [lanes] (un-reduced)."""
     N = xs.batch_shape[0]
     lanes = _pick_lanes(N, terms)
     G = N // (terms * lanes)
@@ -83,9 +112,8 @@ def msm_local(curve: CurveSpec, xs, ys, inf_mask, k_limbs, terms: int = 8,
         return P.point_limbs(P.steady(P.padd(acc, partial)))
 
     acc0 = P.point_limbs(P.identity(curve, (lanes,)))
-    acc0 = acc0 + (k_r[0, 0, 0] & np.uint32(0))  # see _lincomb_terms taint note
     acc_l = jax.lax.fori_loop(0, G, group, acc0) if G > 1 else group(0, acc0)
-    return tree_reduce_points(P.point_from_limbs(curve, acc_l))
+    return P.point_from_limbs(curve, acc_l)
 
 
 def _pick_lanes(N, terms):
@@ -99,32 +127,190 @@ def _pick_lanes(N, terms):
 def _lincomb_terms(curve: CurveSpec, pts: Point, k_limbs, terms: int,
                    scalar_bits=None) -> Point:
     """lincomb over the `terms` axis with lanes batch: pts batch [T, B],
-    k_limbs [ns, T, B] -> Point batch [B]."""
-    tbls = []
-    for t in range(terms):
-        sl = Point(_sel(pts.x, t), _sel(pts.y, t), _sel(pts.z, t), curve)
-        tbls.append(SM._point_table(sl))
+    k_limbs [ns, T, B] -> Point batch [B]. One stacked table build (a single
+    scan over the whole [T, B] batch) + a window scan whose body folds the T
+    term lookups with a log2(T) tree."""
+    assert terms & (terms - 1) == 0, "terms must be a power of two"
+    tbl = SM._point_table(pts)                         # [16, 3, n, T, B]
     digss = SM.window_digits(curve, k_limbs, scalar_bits)   # [nw, T, B]
 
     def body(acc_l, digs):
         acc = P.point_from_limbs(curve, acc_l)
         for _ in range(4):
             acc = P.steady(P.pdouble(acc))
-        for t in range(terms):
-            term = P.point_from_limbs(curve, SM._ct_lookup(tbls[t], digs[t]))
-            acc = P.steady(P.padd(acc, term))
+        term_l = SM._ct_lookup(tbl, digs)              # [3, n, T, B]
+        t = terms
+        while t > 1:                                   # log2(T) tree fold
+            t //= 2
+            s = P.padd(P.point_from_limbs(curve, term_l[..., :t, :]),
+                       P.point_from_limbs(curve, term_l[..., t:, :]))
+            term_l = P.point_limbs(P.steady(s))
+        acc = P.steady(P.padd(acc, P.point_from_limbs(curve, term_l[..., 0, :])))
         return P.point_limbs(acc), None
 
     acc0 = P.point_limbs(P.identity(curve, pts.batch_shape[1:]))
-    # taint with (zeroed) input data so the carry is device-varying under
-    # shard_map (scan requires carry in/out 'varying manual axes' to match)
-    acc0 = acc0 + (k_limbs[0, 0] & np.uint32(0))
     acc_l, _ = jax.lax.scan(body, acc0, digss)
     return P.point_from_limbs(curve, acc_l)
 
 
-def _sel(fe: F.FE, t):
-    return F.FE(fe.limbs[:, t], fe.spec, fe.bound, fe.vmax)
+# ---------------------------------------------------------------------------
+# Pippenger kernel (large N): sort + chunked segmented scan + buckets
+# ---------------------------------------------------------------------------
+
+def wide_window_digits(curve: CurveSpec, k_limbs: jax.Array, w: int,
+                       scalar_bits=None) -> jax.Array:
+    """w-bit windows of canonical scalar limbs, MSB window first ->
+    uint32[nw, *batch] (the w-generalization of SM.window_digits)."""
+    s = curve.scalar
+    b = s.limb_bits
+    assert 1 <= w <= 16
+    bits = scalar_bits or s.bits
+    nw = -(-bits // w)
+    mask = np.uint32((1 << w) - 1)
+    digs = []
+    for j in range(nw):
+        lo = w * j
+        acc = None
+        for li in range(lo // b, min(s.n_limbs - 1, (lo + w - 1) // b) + 1):
+            base = b * li
+            if base >= lo:
+                t = k_limbs[li] << np.uint32(base - lo)
+            else:
+                t = k_limbs[li] >> np.uint32(lo - base)
+            acc = t if acc is None else acc | t
+        digs.append(acc & mask)
+    return jnp.stack(digs[::-1], axis=0)  # MSB first
+
+
+def _hs_scan(curve: CurveSpec, limbs: jax.Array, nsteps: int, mode: str):
+    """Hillis–Steele point scan over the last axis (width W = 2^nsteps).
+
+    mode 'suffix': out[i] = sum_{j >= i} in[j]   (guarded, no wraparound)
+    mode 'total':  every lane = sum of all lanes (wraparound all-reduce)
+    One padd per scan step -> one traced addition formula.
+    """
+    W = limbs.shape[-1]
+    idx = jnp.arange(W, dtype=jnp.int32)
+    shifts = jnp.asarray([1 << i for i in range(nsteps)], jnp.int32)
+
+    def step(acc, s):
+        rolled = jnp.roll(acc, -s, axis=-1)
+        tot = P.point_limbs(P.steady(P.padd(
+            P.point_from_limbs(curve, acc), P.point_from_limbs(curve, rolled))))
+        if mode == "suffix":
+            keep = (idx + s) < W            # lanes whose partner wrapped
+            tot = jnp.where(keep, tot, acc)
+        return tot, None
+
+    out, _ = jax.lax.scan(step, limbs, shifts)
+    return out
+
+
+def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
+                  lanes: int = 8192, scalar_bits=None) -> Point:
+    """Bucketed Pippenger MSM -> single point (batch ()). See module doc.
+
+    N must be a multiple of `lanes` (a power of two); w <= 16.
+    """
+    f = curve.field
+    n = f.n_limbs
+    N = xs.batch_shape[0]
+    L = min(lanes, N & (-N))
+    assert N % L == 0 and L & (L - 1) == 0, (N, L)
+    C = N // L
+    nbuck = 1 << w
+
+    pts = P.from_affine(curve, xs, ys, inf_mask)
+    pl = P.point_limbs(P.steady(pts))                       # [3, n, N]
+    digs = wide_window_digits(curve, k_limbs, w, scalar_bits)   # [nw, N]
+
+    ident1 = P.point_limbs(P.identity(curve))               # [3, n]
+    ident_L = jnp.broadcast_to(ident1[..., None], (3, n, L))
+    lane_idx = jnp.arange(L, dtype=jnp.int32)
+    lsteps = max(L.bit_length() - 1, 0)
+
+    def window(acc_l, dig):
+        # 1) sort by digit; gather the point payload once
+        order = jnp.argsort(dig)                            # [N]
+        skey = dig[order]
+        spl = jnp.take(pl, order, axis=-1)                  # [3, n, N]
+        # 2) chunk layout: lane l holds sorted[l*C : (l+1)*C]
+        key2 = skey.reshape(L, C).T                         # [C, L]
+        val2 = jnp.moveaxis(spl.reshape(3, n, L, C), -1, 0)  # [C, 3, n, L]
+
+        # 3) per-lane serial segmented scan (1 element-add per point)
+        def seg_step(carry, xs_):
+            pk, pacc = carry
+            k_, v_ = xs_
+            cand = P.point_limbs(P.steady(P.padd(
+                P.point_from_limbs(curve, pacc),
+                P.point_from_limbs(curve, v_))))
+            newacc = jnp.where(k_ == pk, cand, v_)
+            return (k_, newacc), newacc
+
+        init = (jnp.full((L,), nbuck, U32), ident_L)        # nbuck != any key
+        (last_key, t_l), scanned = jax.lax.scan(seg_step, init, (key2, val2))
+        first_key = key2[0]
+
+        # 4) stitch runs crossing lane boundaries: segmented Hillis-Steele
+        # over lanes keyed on last_key (monotone keys => endpoint equality
+        # implies the whole span matches)
+        def fix_step(vals, s):
+            rolled = jnp.roll(vals, s, axis=-1)
+            cand = P.point_limbs(P.steady(P.padd(
+                P.point_from_limbs(curve, vals),
+                P.point_from_limbs(curve, rolled))))
+            ok = (jnp.roll(last_key, s) == last_key) & (lane_idx >= s)
+            return jnp.where(ok, cand, vals), None
+
+        if lsteps:
+            shifts = jnp.asarray([1 << i for i in range(lsteps)], jnp.int32)
+            T_incl, _ = jax.lax.scan(fix_step, t_l, shifts)  # [3, n, L]
+        else:
+            T_incl = t_l
+        carry_ok = (first_key == jnp.roll(last_key, 1)) & (lane_idx >= 1)
+        carry = jnp.where(carry_ok, jnp.roll(T_incl, 1, axis=-1), ident_L)
+
+        # 5) fixed value for each lane's leading-run end
+        lead_end = jnp.sum((key2 == first_key[None, :]).astype(jnp.int32),
+                           axis=0) - 1                      # [L]
+        lead_vals = jnp.take_along_axis(
+            scanned, jnp.broadcast_to(lead_end[None, None, None, :],
+                                      (1, 3, n, L)), axis=0)[0]  # [3, n, L]
+        fixed = P.point_limbs(P.steady(P.padd(
+            P.point_from_limbs(curve, lead_vals),
+            P.point_from_limbs(curve, carry))))
+
+        # 6) global run-end mask in sorted order
+        nxt = jnp.concatenate([skey[1:], jnp.full((1,), nbuck, U32)])
+        is_end = skey != nxt                                # [N]
+
+        # 7) scatter run-end sums into buckets; leading-run ends overwrite
+        # with their carry-fixed values
+        scanned_flat = jnp.moveaxis(scanned, 0, -1).reshape(3, n, N)
+        idx_plain = jnp.where(is_end, skey, np.uint32(nbuck))
+        buckets = jnp.broadcast_to(ident1[..., None], (3, n, nbuck))
+        buckets = buckets.at[:, :, idx_plain].set(scanned_flat, mode="drop")
+        g_idx = lane_idx * C + lead_end
+        lead_is_end = jnp.take(is_end, g_idx)
+        idx_fix = jnp.where(lead_is_end, first_key, np.uint32(nbuck))
+        buckets = buckets.at[:, :, idx_fix].set(fixed, mode="drop")
+
+        # 8) weighted bucket sum: sum_b b*S_b = sum_{b>=1} suffix_b
+        suff = _hs_scan(curve, buckets, w, "suffix")        # [3, n, nbuck]
+        suff = suff.at[:, :, 0].set(ident1)                 # drop bucket 0
+        S = P.point_from_limbs(curve, _hs_scan(curve, suff, w, "total")[..., 0])
+
+        # 9) acc = 2^w * acc + S
+        def dbl(_, a):
+            return P.point_limbs(P.steady(P.pdouble(P.point_from_limbs(curve, a))))
+
+        acc_l = jax.lax.fori_loop(0, w, dbl, acc_l)
+        acc = P.padd(P.point_from_limbs(curve, acc_l), S)
+        return P.point_limbs(P.steady(acc)), None
+
+    acc_l, _ = jax.lax.scan(window, ident1, digs)
+    return P.point_from_limbs(curve, acc_l)
 
 
 # ---------------------------------------------------------------------------
@@ -132,58 +318,63 @@ def _sel(fe: F.FE, t):
 # ---------------------------------------------------------------------------
 
 def msm_sharded(curve: CurveSpec, mesh: Mesh, axis: str, xs_l, ys_l, inf_mask,
-                k_l, terms: int = 8, scalar_bits=None):
+                k_l, terms: int = 8, scalar_bits=None, method: str = "straus",
+                w: int = 13, lanes: int = 8192):
     """MSM with the point axis sharded over `axis` of `mesh`.
 
     Inputs are raw arrays (limb arrays [n, N] / mask [N]) sharded on the point
     axis; output is the replicated MSM result's packed limbs [3, n].
-    Per-device partials travel over ICI via all_gather (one tiny point each)
-    and every device folds them locally — deterministic and cheap.
+    Per-device partials travel over ICI via one all_gather (Straus: `lanes`
+    points each; Pippenger: one point each) and every device folds them with
+    the same log-depth tree — deterministic and cheap.
     """
     f = curve.field
 
     def local(xs_s, ys_s, inf_s, k_s):
         xs = F.fe_steady(f, xs_s)
         ys = F.fe_steady(f, ys_s)
-        pt = msm_local(curve, xs, ys, inf_s, k_s, terms, scalar_bits)
-        packed = P.point_limbs(pt)[None]            # [1, 3, n]
-        allp = jax.lax.all_gather(packed, axis, axis=0, tiled=True)  # [D, 3, n]
-        D = allp.shape[0]
-        acc = P.point_from_limbs(curve, allp[0])
-        for d in range(1, D):
-            acc = P.steady(P.padd(acc, P.point_from_limbs(curve, allp[d])))
-        return P.point_limbs(acc)
+        if method == "pippenger":
+            pt = msm_pippenger(curve, xs, ys, inf_s, k_s, w=w, lanes=lanes,
+                               scalar_bits=scalar_bits)
+            packed = P.point_limbs(pt)[..., None]        # [3, n, 1]
+        else:
+            pt = msm_local_lanes(curve, xs, ys, inf_s, k_s, terms, scalar_bits)
+            packed = P.point_limbs(pt)                   # [3, n, lanes]
+        allp = jax.lax.all_gather(packed, axis, axis=2, tiled=True)
+        red = tree_reduce_points(P.point_from_limbs(curve, allp))
+        return P.point_limbs(red)
 
-    kw = {}
-    try:  # the output is replicated by construction (same fold of the same
-        # all_gathered partials on every device); the static VMA checker
-        # can't see that, so disable it (API name varies across jax versions)
-        import inspect
-        sig = inspect.signature(shard_map)
-        if "check_vma" in sig.parameters:
-            kw["check_vma"] = False
-        elif "check_rep" in sig.parameters:
-            kw["check_rep"] = False
-    except (ValueError, TypeError):
-        pass
-    fn = shard_map(
+    # the output is replicated by construction (every device folds the same
+    # all_gathered partials); the static varying-manual-axes checker cannot
+    # see through the fold, so it is disabled (jax.shard_map's documented
+    # check_vma escape hatch; requires jax >= 0.6 for the stable API)
+    fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(PS(None, axis), PS(None, axis), PS(axis), PS(None, axis)),
-        out_specs=PS(), **kw,
+        out_specs=PS(), check_vma=False,
     )
     return fn(xs_l, ys_l, inf_mask, k_l)
 
 
 def msm(curve: CurveSpec, points, scalars, mesh: Mesh | None = None,
-        axis: str = "dp", terms: int = 8, scalar_bits=None):
+        axis: str = "dp", terms: int = 8, scalar_bits=None,
+        method: str = "auto", w: int = 13, lanes: int = 8192):
     """Host entry: points = [(x, y) ints], scalars = [ints] -> affine (x, y).
 
     Pads to a lane/term/device-aligned size with identity points, packs, runs
     the sharded (or single-device) kernel, returns the affine result.
+    method: 'straus' (constant-time; small N), 'pippenger' (large public
+    aggregations), or 'auto' (Pippenger from 2^14 points per device).
     """
     N = len(points)
     D = mesh.shape[axis] if mesh is not None else 1
-    unit = terms * 128 * D
+    if method == "auto":
+        method = "pippenger" if N // max(D, 1) >= (1 << 14) else "straus"
+    if method == "pippenger":
+        lanes = min(lanes, 1 << max((N // max(D, 1)).bit_length() - 3, 3))
+        unit = lanes * D
+    else:
+        unit = terms * 128 * D
     Np = -(-max(N, 1) // unit) * unit
     xs = [p[0] for p in points] + [curve.gx] * (Np - N)
     ys = [p[1] for p in points] + [curve.gy] * (Np - N)
@@ -196,18 +387,21 @@ def msm(curve: CurveSpec, points, scalars, mesh: Mesh | None = None,
     inf_j = jnp.asarray(inf)
 
     if mesh is None:
-        xs_f = F.fe_steady(curve.field, xs_l)
-        ys_f = F.fe_steady(curve.field, ys_l)
+        if method == "pippenger":
+            kern = functools.partial(msm_pippenger, w=w, lanes=lanes,
+                                     scalar_bits=scalar_bits)
+        else:
+            kern = functools.partial(msm_local, terms=terms,
+                                     scalar_bits=scalar_bits)
         out = jax.jit(
             lambda a, b, c, d: P.point_limbs(
-                msm_local(curve, F.fe_steady(curve.field, a),
-                          F.fe_steady(curve.field, b), c, d, terms,
-                          scalar_bits))
+                kern(curve, F.fe_steady(curve.field, a),
+                     F.fe_steady(curve.field, b), c, d))
         )(xs_l, ys_l, inf_j, k_l)
     else:
         out = jax.jit(functools.partial(
             msm_sharded, curve, mesh, axis, terms=terms,
-            scalar_bits=scalar_bits)
+            scalar_bits=scalar_bits, method=method, w=w, lanes=lanes)
         )(xs_l, ys_l, inf_j, k_l)
 
     pt = P.point_from_limbs(curve, out)

@@ -166,11 +166,9 @@ def sign_batch(curve: CurveSpec, d_ints, z_ints, k_ints=None, hashname=None,
     low_s = (curve.name in LOW_S_CURVES) if low_s is None else low_s
     hashname = hashname or CURVE_HASH[curve.name]
     if k_ints is None:
-        k_ints = [
-            rfc6979.generate_k(
-                n, d, int(z).to_bytes((n.bit_length() + 7) // 8, "big"), hashname)
-            for d, z in zip(d_ints, z_ints)
-        ]
+        nb = (n.bit_length() + 7) // 8
+        k_ints = rfc6979.generate_k_batch(
+            n, d_ints, [int(z).to_bytes(nb, "big") for z in z_ints], hashname)
     s = curve.scalar
     w = lambda vals: jnp.asarray(F.words_from_ints(vals, s.bits))  # noqa: E731
     core = _sign_core(curve)
@@ -231,23 +229,89 @@ def _unpack_raw(spec, raw) -> list[int]:
     return limbs_np_to_ints(np.asarray(jax.device_get(raw)), spec.limb_bits)
 
 
-def recover_public_key(curve: CurveSpec, z: int, r: int, s: int, recid: int):
-    """Public-key recovery from a signature (k256 RecoveryId semantics,
-    cf. k256/src/ecdsa.rs public-key recovery). Host-side (single-shot)."""
+@functools.lru_cache(maxsize=None)
+def _recover_core(curve: CurveSpec):
+    """Batched device recovery: decompress R from (x, y-parity) with a
+    batched sqrt, then Q = r^-1 (s*R - z*G) as one lincomb (the device
+    analogue of VerifyingKey::recover_from_prehash, k256/src/ecdsa.rs)."""
+    f = curve.field
+    s = curve.scalar
+    fbits, sbits = f.bits, s.bits
+    nwf = (fbits + 31) // 32
+    nws = (sbits + 31) // 32
+
+    @jax.jit
+    def core(buf):
+        """buf: [nwf + 3*nws + 1, B] uint32 — x words, z/r/s words, y_odd."""
+        bshape = buf.shape[1:]
+        o = 0
+        x_w = buf[o:o + nwf]; o += nwf
+        z_w = buf[o:o + nws]; o += nws
+        r_w = buf[o:o + nws]; o += nws
+        s_w = buf[o:o + nws]; o += nws
+        want_odd = buf[o] == 1
+        x = F.fe_from_words(f, x_w, fbits)
+        # decompress: y = sqrt(x^3 + a x + b), then match the parity bit
+        rhs = F.fmul(F.fsquare(x), x)
+        if curve.a != 0:
+            rhs = rhs + F.fmul(F.fe_from_int(f, curve.a, bshape), x)
+        rhs = rhs + F.fe_from_int(f, curve.b, bshape)
+        y, is_sq = F.fsqrt(rhs)
+        y_odd = (F.fto_raw_canonical(y)[0] & np.uint32(1)) == 1
+        y = F.fselect(y_odd != want_odd, F.fneg(y), y)
+        # u1 = -z r^-1, u2 = s r^-1 (mod n)
+        z_m = F.fe_from_words(s, z_w, sbits)
+        r_m = F.fe_from_words(s, r_w, sbits)
+        s_m = F.fe_from_words(s, s_w, sbits)
+        rinv = F.finv(r_m)
+        u1 = F.fto_raw_canonical(F.fmul(F.fneg(z_m), rinv))
+        u2 = F.fto_raw_canonical(F.fmul(s_m, rinv))
+        Rp = P.from_affine(curve, x, y)
+        G = P.generator(curve, bshape)
+        Q = SM.lincomb([(G, u1), (Rp, u2)])
+        qx, qy, inf = P.to_affine(Q)
+        ok = jnp.logical_and(is_sq, jnp.logical_not(inf))
+        return F.fe_to_words(qx), F.fe_to_words(qy), ok
+
+    return core
+
+
+def recover_batch(curve: CurveSpec, z_ints, sigs):
+    """Batched public-key recovery on device. sigs: list of (r, s, recid).
+    Returns list of affine (x, y) or None (k256 RecoveryId semantics:
+    bit 0 = y parity, bit 1 = x overflowed the order)."""
     n, p = curve.n, curve.p
-    x = r + (n if recid & 2 else 0)
-    if x >= p:
-        return None
-    pt = ec_host.decompress(curve, x, bool(recid & 1))
-    if pt is None:
-        return None
-    rinv = pow(r, -1, n)
-    u1 = (-z * rinv) % n
-    u2 = (s * rinv) % n
-    G = ec_host.aff_generator(curve)
-    Q = ec_host.aff_add(curve, ec_host.aff_mul(curve, u1, G),
-                        ec_host.aff_mul(curve, u2, pt))
-    return Q
+    f = curve.field
+    pre_ok, xs, zs, rl, sl, odd = [], [], [], [], [], []
+    for (r, sg, recid), z in zip(sigs, z_ints):
+        x = r + (n if recid & 2 else 0)
+        ok = 0 < r < n and 0 < sg < n and x < p
+        pre_ok.append(ok)
+        xs.append(x if ok else curve.gx)
+        rl.append(r if ok else 1)
+        sl.append(sg if ok else 1)
+        zs.append(z % n)
+        odd.append(recid & 1)
+    s = curve.scalar
+    buf = np.concatenate([
+        F.words_from_ints(xs, f.bits),
+        F.words_from_ints(zs, s.bits),
+        F.words_from_ints(rl, s.bits),
+        F.words_from_ints(sl, s.bits),
+        np.array(odd, np.uint32)[None],
+    ], axis=0)
+    qx_w, qy_w, ok = _recover_core(curve)(jnp.asarray(buf))
+    qxs = F.ints_from_words(qx_w)
+    qys = F.ints_from_words(qy_w)
+    ok = np.asarray(ok)
+    return [(qx, qy) if (pok and bool(o)) else None
+            for qx, qy, pok, o in zip(qxs, qys, pre_ok, ok)]
+
+
+def recover_public_key(curve: CurveSpec, z: int, r: int, s: int, recid: int):
+    """Single-shot public-key recovery (delegates to the batched device
+    path; cf. k256/src/ecdsa.rs RecoveryId + recover_from_prehash)."""
+    return recover_batch(curve, [z], [(r, s, recid)])[0]
 
 
 # ---------------------------------------------------------------------------

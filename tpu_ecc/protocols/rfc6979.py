@@ -60,3 +60,17 @@ def generate_k(q: int, x: int, h1: bytes, hashname: str = "sha256",
             return k
         K = hm(K, V + b"\x00")
         V = hm(K, V)
+
+
+def generate_k_batch(q: int, xs, h1s, hashname: str = "sha256",
+                     extra: bytes = b"") -> list[int]:
+    """Batched deterministic k. Uses the native C++ kernel
+    (tpu_ecc/native/fastcrypt.cpp) when eligible — qlen == 256, SHA-256,
+    no extra data, 32-byte digests — else the Python loop above."""
+    if hashname == "sha256" and not extra and q.bit_length() == 256:
+        from ..native import rfc6979_k_sha256_batch
+
+        ks = rfc6979_k_sha256_batch(q, xs, list(h1s))
+        if ks is not None:
+            return ks
+    return [generate_k(q, x, h1, hashname, extra) for x, h1 in zip(xs, h1s)]
