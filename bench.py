@@ -49,9 +49,49 @@ def _chain_tweak(out_arr):
     return flat[0] >> np.uint32(31)
 
 
+def _fetch(arr):
+    """Force completion with a REAL device-to-host read of a few bytes.
+    `block_until_ready` has been observed to return early through the axon
+    tunnel (PERF.md methodology note), so timing windows must close with an
+    actual fetch."""
+    flat = arr
+    while flat.ndim > 1:
+        flat = flat[0]
+    return np.asarray(flat[:1])
+
+
+def diff_rate(step, out0, work_per_call, c1=16, c2=80, tries=3):
+    """Work rate via chain-length differencing: time a c1-long and a c2-long
+    dependency chain (each closed by a real fetch) and divide the extra work
+    by the extra time. Fetch latency, dispatch ramp and any fixed per-window
+    cost cancel in the difference; the max over `tries` rejects co-tenant
+    stalls on the shared-pool chip."""
+    best = 0.0
+    out = out0
+    for _ in range(tries):
+        def run(count, out):
+            t0 = time.perf_counter()
+            for _ in range(count):
+                out = step(out)
+            _fetch(out)
+            return time.perf_counter() - t0, out
+        t1, out = run(c1, out)
+        t2, out = run(c2, out)
+        if t2 > t1:
+            best = max(best, (c2 - c1) * work_per_call / (t2 - t1))
+    return best, out
+
+
 def headline(curve, B=8192, repeat=16, iters=64):
-    """Batched secp256k1 point additions per second per chip."""
+    """Batched secp256k1 point additions per second per chip.
+
+    Measures both production engines — the XLA graph path and the fused
+    Mosaic kernel (a REPEAT-long addition chain inside ONE Pallas kernel,
+    intermediates never leaving VMEM; 2x the XLA path on v5e, PERF.md) —
+    and reports the faster one. Both paths are bit-identical by assertion.
+    """
     import jax
+    import jax.numpy as jnp
     from tpu_ecc.ops import points as P
     from tpu_ecc.utils import ec_host as H
 
@@ -76,17 +116,32 @@ def headline(curve, B=8192, repeat=16, iters=64):
             pa = P.steady(P.padd(pa, pb))
         return P.point_limbs(pa)
 
-    out = chain(a_l, b_l)
-    out.block_until_ready()  # compile + warmup
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = chain(out, b_l)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    adds_per_sec = iters * repeat * B / dt
-    record("point_add", curve.name, B, dt / (iters * repeat), adds_per_sec,
+    def measure(fn):
+        out = fn(a_l, b_l)
+        _fetch(out)              # compile + warmup
+        rate, out = diff_rate(lambda o: fn(o, b_l), out, repeat * B,
+                              c1=iters // 4, c2=iters + iters // 4)
+        return rate, out
+
+    xla_rate, xla_out = measure(chain)
+    record("point_add_xla", curve.name, B, repeat * B / xla_rate, xla_rate,
            "adds/s")
-    return adds_per_sec
+    best = xla_rate
+    try:
+        from tpu_ecc.ops.pallas_kernels import padd_chain_call
+
+        kern = padd_chain_call(curve, B, min(2048, B), repeat)
+        assert jnp.array_equal(np.asarray(chain(a_l, b_l)),
+                               np.asarray(kern(a_l, b_l))), \
+            "pallas chain != xla chain"
+        k_rate, _ = measure(kern)
+        record("point_add_pallas", curve.name, B, repeat * B / k_rate, k_rate,
+               "adds/s")
+        best = max(best, k_rate)
+    except Exception as e:  # no Mosaic on this backend: XLA number stands
+        print(f"  (pallas path unavailable: {type(e).__name__}: {e})",
+              file=sys.stderr)
+    return best
 
 
 def bench_field(curve, B=8192, iters=32):
@@ -222,13 +277,18 @@ def bench_msm(curve, log_n=20, w=13, lanes=8192, iters=3):
     kern = jax.jit(lambda a, b, c, d: P.point_limbs(M.msm_pippenger(
         curve, F.fe_steady(f, a), F.fe_steady(f, b), c, d, w=w, lanes=lanes)))
     out = kern(xs_l, ys_l, inf, k_l)
-    out.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        k_l = k_l ^ _chain_tweak(out)
+    _fetch(out)
+    # min over iters: co-tenant stalls on the shared-pool chip reach seconds;
+    # the min is the uncontended device time; per-call windows close with a
+    # real fetch (~60ms bias on a multi-hundred-ms call)
+    t = float("inf")
+    for _ in range(max(iters, 5)):
+        k_l = jnp.roll(k_l, 1, axis=-1) ^ _chain_tweak(out)
+        _fetch(k_l)
+        t0 = time.perf_counter()
         out = kern(xs_l, ys_l, inf, k_l)
-    out.block_until_ready()
-    t = (time.perf_counter() - t0) / iters
+        _fetch(out)
+        t = min(t, time.perf_counter() - t0)
     record(f"msm_pippenger_2^{log_n}", curve.name, N, t, N / t, "points/s")
     return N / t
 

@@ -67,15 +67,19 @@ def main():
         k_np[-1] = 0
         k_l = jnp.asarray(k_np)
         out = kern(xs_l, ys_l, inf, k_l)
-        out.block_until_ready()          # compile + warmup
-        iters = 3
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            k_l = k_l ^ (out[0, 0, 0] >> np.uint32(31))   # dependency chain
+        np.asarray(out[0, :1])        # compile + warmup (REAL fetch:
+        # block_until_ready can return early through the tunnel, PERF.md)
+        # min over iters: the shared-pool chip suffers multi-second co-tenant
+        # stalls; the min is the uncontended device time
+        best = float("inf")
+        for _ in range(5):
+            k_l = jnp.roll(k_l, 1, axis=-1) ^ (out[0, 0] >> np.uint32(31))
+            np.asarray(k_l[0, :1])
+            t0 = time.perf_counter()
             out = kern(xs_l, ys_l, inf, k_l)
-        out.block_until_ready()
-        t = (time.perf_counter() - t0) / iters
-        print(f"2^{log_n}: {t*1e3:8.2f} ms  {N/t:.3e} points/s")
+            np.asarray(out[0, :1])
+            best = min(best, time.perf_counter() - t0)
+        print(f"2^{log_n}: {best*1e3:8.2f} ms  {N/best:.3e} points/s")
 
 
 if __name__ == "__main__":

@@ -48,19 +48,28 @@ def main():
 
     import jax.numpy as jnp
 
+    def fetch(arr):
+        # REAL D2H read: block_until_ready can return early via the tunnel
+        return np.asarray(arr[0, 0, :1])
+
     def measure(tag, fn):
         out = fn(a_l, b_l)
-        out.block_until_ready()
-        # correctness spot-check vs the XLA path on first call
-        t0 = time.perf_counter()
-        out = fn(a_l, b_l)
-        for _ in range(ITERS - 1):
-            out = fn(out, b_l)
-        out.block_until_ready()
-        dt = time.perf_counter() - t0
-        rate = ITERS * REPEAT * B / dt
-        print(f"{tag:8s} {rate:.3e} adds/s  ({dt*1e3/ITERS:.2f} ms/call)")
-        return rate, out
+        fetch(out)
+        # chain-length differencing: fetch latency + dispatch ramp cancel
+        best = 0.0
+        for _ in range(3):
+            def run(count, o):
+                t0 = time.perf_counter()
+                for _ in range(count):
+                    o = fn(o, b_l)
+                fetch(o)
+                return time.perf_counter() - t0, o
+            t1, out = run(ITERS // 4, out)
+            t2, out = run(ITERS + ITERS // 4, out)
+            if t2 > t1:
+                best = max(best, ITERS * REPEAT * B / (t2 - t1))
+        print(f"{tag:8s} {best:.3e} adds/s")
+        return best, out
 
     @jax.jit
     def xla_chain(a, b):
@@ -70,36 +79,9 @@ def main():
             pa = P.steady(P.padd(pa, pb))
         return P.point_limbs(pa)
 
-    n = curve.field.n_limbs
-    rows = B // 128
-    S = block // 128
-    import functools
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    spec = pl.BlockSpec((3, n, S, 128), lambda i: (0, 0, i, 0),
-                        memory_space=pltpu.VMEM)
-
-    def pallas_kernel_chain(a_ref, b_ref, o_ref):
-        """REPEAT chained adds inside ONE kernel: intermediates never leave
-        VMEM — the fused-VMEM design point the XLA path cannot express."""
-        s = curve.field
-        A = [PK._load(s, a_ref, c) for c in range(3)]
-        Bp = [PK._load(s, b_ref, c) for c in range(3)]
-        import tpu_ecc.ops.fe_kernel as K
-        for _ in range(REPEAT):
-            A = [K.ksteady(v) for v in PK._KADD[curve.strategy](curve, *A, *Bp)]
-        for c, fe in enumerate(A):
-            PK._store(o_ref, c, fe)
-
-    pallas_fused = jax.jit(lambda a, b: pl.pallas_call(
-        pallas_kernel_chain,
-        out_shape=jax.ShapeDtypeStruct((3, n, rows, 128), jnp.uint32),
-        grid=(rows // S,),
-        in_specs=[spec, spec],
-        out_specs=spec,
-    )(a.reshape(3, n, rows, 128),
-      b.reshape(3, n, rows, 128)).reshape(3, n, B))
+    # REPEAT chained adds inside ONE kernel: intermediates never leave VMEM —
+    # the fused-VMEM design point the XLA path cannot express.
+    pallas_fused = PK.padd_chain_call(curve, B, block, REPEAT)
 
     def pallas_percall(a, b):
         pa = P.point_from_limbs(curve, a)

@@ -247,6 +247,43 @@ def _pdouble_call(curve: CurveSpec, batch: int, block: int):
     return jax.jit(run)
 
 
+@functools.lru_cache(maxsize=None)
+def padd_chain_call(curve: CurveSpec, batch: int, block: int, repeat: int):
+    """jitted (a_limbs, b_limbs) -> limbs of a + repeat*b computed as a
+    `repeat`-long addition chain inside ONE kernel — every intermediate stays
+    in VMEM. This is the fused design point the XLA path cannot express
+    (measured 2x the XLA chain on v5e, PERF.md); the building block for
+    fully-fused ladders."""
+    assert _supported(curve)
+    n = curve.field.n_limbs
+    assert batch % block == 0 and block % 128 == 0
+    S = block // 128
+    rows = batch // 128
+    spec = pl.BlockSpec((3, n, S, 128), lambda i: (0, 0, i, 0),
+                        memory_space=pltpu.VMEM)
+
+    def body(a_ref, b_ref, o_ref):
+        s = curve.field
+        A = [_load(s, a_ref, c) for c in range(3)]
+        Bp = [_load(s, b_ref, c) for c in range(3)]
+        for _ in range(repeat):
+            A = [K.ksteady(v) for v in _KADD[curve.strategy](curve, *A, *Bp)]
+        for c, fe in enumerate(A):
+            _store(o_ref, c, fe)
+
+    def run(a, b):
+        out = pl.pallas_call(
+            body,
+            out_shape=jax.ShapeDtypeStruct((3, n, rows, 128), jnp.uint32),
+            grid=(rows // S,),
+            in_specs=[spec, spec],
+            out_specs=spec,
+        )(a.reshape(3, n, rows, 128), b.reshape(3, n, rows, 128))
+        return out.reshape(3, n, batch)
+
+    return jax.jit(run)
+
+
 def padd_pallas(a: P.Point, b: P.Point, block: int = 2048) -> P.Point:
     """Fused complete point addition as one Pallas kernel over the batch.
     Batch must be 1-D with size a multiple of `block` (multiple of 128)."""

@@ -182,7 +182,8 @@ def wide_window_digits(curve: CurveSpec, k_limbs: jax.Array, w: int,
     return jnp.stack(digs[::-1], axis=0)  # MSB first
 
 
-def _hs_scan(curve: CurveSpec, limbs: jax.Array, nsteps: int, mode: str):
+def _hs_scan(curve: CurveSpec, limbs: jax.Array, nsteps: int, mode: str,
+             unroll: int = 1):
     """Hillis–Steele point scan over the last axis (width W = 2^nsteps).
 
     mode 'suffix': out[i] = sum_{j >= i} in[j]   (guarded, no wraparound)
@@ -202,15 +203,22 @@ def _hs_scan(curve: CurveSpec, limbs: jax.Array, nsteps: int, mode: str):
             tot = jnp.where(keep, tot, acc)
         return tot, None
 
-    out, _ = jax.lax.scan(step, limbs, shifts)
+    out, _ = jax.lax.scan(step, limbs, shifts, unroll=min(unroll, nsteps))
     return out
 
 
 def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
-                  lanes: int = 8192, scalar_bits=None) -> Point:
+                  lanes: int = 8192, scalar_bits=None, seg_unroll: int = 8,
+                  hs_unroll: int = 4) -> Point:
     """Bucketed Pippenger MSM -> single point (batch ()). See module doc.
 
     N must be a multiple of `lanes` (a power of two); w <= 16.
+    seg_unroll/hs_unroll: lax.scan unroll factors. A lone point-add per loop
+    iteration costs ~1ms on v5e (per-iteration overhead + unfused kernels);
+    unrolling lets XLA fuse consecutive adds like the flat batched path
+    (~3us per width-8192 add) at the price of a proportionally larger
+    compiled program — dial down for compile-sensitive paths (the driver
+    dryrun uses 1).
     """
     f = curve.field
     n = f.n_limbs
@@ -224,19 +232,31 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
     pl = P.point_limbs(P.steady(pts))                       # [3, n, N]
     digs = wide_window_digits(curve, k_limbs, w, scalar_bits)   # [nw, N]
 
+    # TPU memory-layout discipline (measured on v5e, PERF.md): random gathers
+    # and scatters must move contiguous *rows*, so the payload lives
+    # point-major ([N, 3n]: one point = one 240B row) around the sort, and
+    # every transpose is materialized behind an optimization_barrier so the
+    # sequential scan reads contiguous [3, n, L] slices instead of re-doing
+    # a strided transpose per step.
+    pl_major = jax.lax.optimization_barrier(
+        jnp.moveaxis(pl.reshape(3 * n, N), -1, 0))          # [N, 3n]
+
     ident1 = P.point_limbs(P.identity(curve))               # [3, n]
+    ident_row = ident1.reshape(3 * n)
     ident_L = jnp.broadcast_to(ident1[..., None], (3, n, L))
     lane_idx = jnp.arange(L, dtype=jnp.int32)
     lsteps = max(L.bit_length() - 1, 0)
 
     def window(acc_l, dig):
-        # 1) sort by digit; gather the point payload once
+        # 1) sort by digit; gather the point payload as contiguous rows
         order = jnp.argsort(dig)                            # [N]
         skey = dig[order]
-        spl = jnp.take(pl, order, axis=-1)                  # [3, n, N]
+        smaj = jnp.take(pl_major, order, axis=0)            # [N, 3n]
         # 2) chunk layout: lane l holds sorted[l*C : (l+1)*C]
         key2 = skey.reshape(L, C).T                         # [C, L]
-        val2 = jnp.moveaxis(spl.reshape(3, n, L, C), -1, 0)  # [C, 3, n, L]
+        val2 = jax.lax.optimization_barrier(
+            jnp.moveaxis(smaj.reshape(L, C, 3 * n), 0, -1)
+            .reshape(C, 3, n, L))                           # [C, 3, n, L]
 
         # 3) per-lane serial segmented scan (1 element-add per point)
         def seg_step(carry, xs_):
@@ -249,7 +269,8 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
             return (k_, newacc), newacc
 
         init = (jnp.full((L,), nbuck, U32), ident_L)        # nbuck != any key
-        (last_key, t_l), scanned = jax.lax.scan(seg_step, init, (key2, val2))
+        (last_key, t_l), scanned = jax.lax.scan(
+            seg_step, init, (key2, val2), unroll=min(seg_unroll, C))
         first_key = key2[0]
 
         # 4) stitch runs crossing lane boundaries: segmented Hillis-Steele
@@ -265,7 +286,8 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
 
         if lsteps:
             shifts = jnp.asarray([1 << i for i in range(lsteps)], jnp.int32)
-            T_incl, _ = jax.lax.scan(fix_step, t_l, shifts)  # [3, n, L]
+            T_incl, _ = jax.lax.scan(fix_step, t_l, shifts,
+                                     unroll=min(hs_unroll, lsteps))
         else:
             T_incl = t_l
         carry_ok = (first_key == jnp.roll(last_key, 1)) & (lane_idx >= 1)
@@ -285,27 +307,35 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
         nxt = jnp.concatenate([skey[1:], jnp.full((1,), nbuck, U32)])
         is_end = skey != nxt                                # [N]
 
-        # 7) scatter run-end sums into buckets; leading-run ends overwrite
-        # with their carry-fixed values
-        scanned_flat = jnp.moveaxis(scanned, 0, -1).reshape(3, n, N)
-        idx_plain = jnp.where(is_end, skey, np.uint32(nbuck))
-        buckets = jnp.broadcast_to(ident1[..., None], (3, n, nbuck))
-        buckets = buckets.at[:, :, idx_plain].set(scanned_flat, mode="drop")
+        # 7) scatter run-end sums into buckets (point-major rows); leading-run
+        # ends overwrite with their carry-fixed values
+        scanned_major = jnp.moveaxis(scanned.reshape(C, 3 * n, L),
+                                     0, -1).reshape(3 * n, N)
+        scanned_major = jax.lax.optimization_barrier(
+            jnp.moveaxis(scanned_major, 0, -1))             # [N, 3n]
+        idx_plain = jnp.where(is_end, skey, np.uint32(nbuck)).astype(jnp.int32)
+        buckets_m = jnp.broadcast_to(ident_row[None], (nbuck, 3 * n))
+        buckets_m = buckets_m.at[idx_plain].set(scanned_major, mode="drop")
         g_idx = lane_idx * C + lead_end
         lead_is_end = jnp.take(is_end, g_idx)
-        idx_fix = jnp.where(lead_is_end, first_key, np.uint32(nbuck))
-        buckets = buckets.at[:, :, idx_fix].set(fixed, mode="drop")
+        idx_fix = jnp.where(lead_is_end, first_key,
+                            np.uint32(nbuck)).astype(jnp.int32)
+        fixed_major = jnp.moveaxis(fixed.reshape(3 * n, L), 0, -1)  # [L, 3n]
+        buckets_m = buckets_m.at[idx_fix].set(fixed_major, mode="drop")
+        buckets = jnp.moveaxis(buckets_m, 0, -1).reshape(3, n, nbuck)
 
         # 8) weighted bucket sum: sum_b b*S_b = sum_{b>=1} suffix_b
-        suff = _hs_scan(curve, buckets, w, "suffix")        # [3, n, nbuck]
+        suff = _hs_scan(curve, buckets, w, "suffix", unroll=hs_unroll)
         suff = suff.at[:, :, 0].set(ident1)                 # drop bucket 0
-        S = P.point_from_limbs(curve, _hs_scan(curve, suff, w, "total")[..., 0])
+        S = P.point_from_limbs(
+            curve, _hs_scan(curve, suff, w, "total", unroll=hs_unroll)[..., 0])
 
         # 9) acc = 2^w * acc + S
         def dbl(_, a):
             return P.point_limbs(P.steady(P.pdouble(P.point_from_limbs(curve, a))))
 
-        acc_l = jax.lax.fori_loop(0, w, dbl, acc_l)
+        acc_l = jax.lax.fori_loop(0, w, dbl, acc_l,
+                                  unroll=min(hs_unroll, w))
         acc = P.padd(P.point_from_limbs(curve, acc_l), S)
         return P.point_limbs(P.steady(acc)), None
 
@@ -319,7 +349,8 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
 
 def msm_sharded(curve: CurveSpec, mesh: Mesh, axis: str, xs_l, ys_l, inf_mask,
                 k_l, terms: int = 8, scalar_bits=None, method: str = "straus",
-                w: int = 13, lanes: int = 8192):
+                w: int = 13, lanes: int = 8192, seg_unroll: int = 8,
+                hs_unroll: int = 4):
     """MSM with the point axis sharded over `axis` of `mesh`.
 
     Inputs are raw arrays (limb arrays [n, N] / mask [N]) sharded on the point
@@ -335,7 +366,8 @@ def msm_sharded(curve: CurveSpec, mesh: Mesh, axis: str, xs_l, ys_l, inf_mask,
         ys = F.fe_steady(f, ys_s)
         if method == "pippenger":
             pt = msm_pippenger(curve, xs, ys, inf_s, k_s, w=w, lanes=lanes,
-                               scalar_bits=scalar_bits)
+                               scalar_bits=scalar_bits, seg_unroll=seg_unroll,
+                               hs_unroll=hs_unroll)
             packed = P.point_limbs(pt)[..., None]        # [3, n, 1]
         else:
             pt = msm_local_lanes(curve, xs, ys, inf_s, k_s, terms, scalar_bits)
@@ -358,7 +390,8 @@ def msm_sharded(curve: CurveSpec, mesh: Mesh, axis: str, xs_l, ys_l, inf_mask,
 
 def msm(curve: CurveSpec, points, scalars, mesh: Mesh | None = None,
         axis: str = "dp", terms: int = 8, scalar_bits=None,
-        method: str = "auto", w: int = 13, lanes: int = 8192):
+        method: str = "auto", w: int = 13, lanes: int = 8192,
+        seg_unroll: int = 8, hs_unroll: int = 4):
     """Host entry: points = [(x, y) ints], scalars = [ints] -> affine (x, y).
 
     Pads to a lane/term/device-aligned size with identity points, packs, runs
@@ -389,7 +422,9 @@ def msm(curve: CurveSpec, points, scalars, mesh: Mesh | None = None,
     if mesh is None:
         if method == "pippenger":
             kern = functools.partial(msm_pippenger, w=w, lanes=lanes,
-                                     scalar_bits=scalar_bits)
+                                     scalar_bits=scalar_bits,
+                                     seg_unroll=seg_unroll,
+                                     hs_unroll=hs_unroll)
         else:
             kern = functools.partial(msm_local, terms=terms,
                                      scalar_bits=scalar_bits)
@@ -401,7 +436,8 @@ def msm(curve: CurveSpec, points, scalars, mesh: Mesh | None = None,
     else:
         out = jax.jit(functools.partial(
             msm_sharded, curve, mesh, axis, terms=terms,
-            scalar_bits=scalar_bits, method=method, w=w, lanes=lanes)
+            scalar_bits=scalar_bits, method=method, w=w, lanes=lanes,
+            seg_unroll=seg_unroll, hs_unroll=hs_unroll)
         )(xs_l, ys_l, inf_j, k_l)
 
     pt = P.point_from_limbs(curve, out)

@@ -19,25 +19,43 @@ def trace(logdir: str = "/tmp/tpu_ecc_trace"):
         jax.profiler.stop_trace()
 
 
-def time_fn(fn, *args, iters: int = 16, chain=None, block=None):
-    """Mean wall time of a jitted callable over a dependency-chained loop.
+def _fetch_tiny(arr):
+    """Force completion with a REAL device-to-host read of a few bytes —
+    `block_until_ready` has been observed to return early through the axon
+    tunnel (PERF.md), so timing windows must close with an actual fetch."""
+    import numpy as np
 
-    Each iteration's first argument is derived from the previous output so
-    the device cannot overlap iterations (no enqueue-pipelining artifacts —
-    the bench.py methodology). `chain(out, args) -> args` builds the next
-    call's arguments; the default feeds the output back as the first
-    argument, which requires fn's output to be shape/dtype-compatible with
-    args[0]. `block` extracts an array to block on (default: the output)."""
+    flat = arr
+    while getattr(flat, "ndim", 0) > 1:
+        flat = flat[0]
+    return np.asarray(flat[:1])
+
+
+def time_fn(fn, *args, iters: int = 16, chain=None, block=None):
+    """Per-call wall time of a jitted callable via chain-length differencing.
+
+    Times a short and a long dependency-chained loop (each iteration's first
+    argument derives from the previous output; each window closes with a real
+    device fetch) and divides the extra time by the extra calls — fetch
+    latency and dispatch ramp cancel in the difference. `chain(out, args) ->
+    args` builds the next call's arguments; the default feeds the output back
+    as the first argument. `block` extracts the array to fetch."""
     if chain is None:
         chain = lambda out, a: (out,) + tuple(a[1:])  # noqa: E731
     out = fn(*args)
-    arr = block(out) if block else out
-    arr.block_until_ready()
+    _fetch_tiny(block(out) if block else out)
     args = chain(out, args)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-        args = chain(out, args)
-    arr = block(out) if block else out
-    arr.block_until_ready()
-    return (time.perf_counter() - t0) / iters
+
+    def run(count, args):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(count):
+            out = fn(*args)
+            args = chain(out, args)
+        _fetch_tiny(block(out) if block else out)
+        return time.perf_counter() - t0, args
+
+    c1 = max(iters // 4, 1)
+    t1, args = run(c1, args)
+    t2, args = run(c1 + iters, args)
+    return max(t2 - t1, 1e-9) / iters
