@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -282,6 +283,257 @@ def padd_chain_call(curve: CurveSpec, batch: int, block: int, repeat: int):
         return out.reshape(3, n, batch)
 
     return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def segscan_call(curve: CurveSpec, C: int, L: int, nbuck: int,
+                 Cb: int = 8, Lb: int = 1024):
+    """Fused segmented-scan kernel for the Pippenger bucket accumulation
+    (parallel/msm.py): each of L lanes serially accumulates its chunk of C
+    digit-sorted points, resetting on key change. The entire C-long serial
+    chain runs inside Pallas with the carry in VMEM scratch across grid
+    steps — the XLA formulation paid ~1.9ms per point-add step (while-loop
+    carries + spills); here a step is ~4us of fused VPU work.
+
+    jitted (key2 [C, L] uint32, val2 [C, 3, n, L] uint32) ->
+      (scanned [C, 3, n, L], last_key [L], tail [3, n, L]).
+    Grid: (L/Lb lane blocks) x (C/Cb row chunks, innermost; the scratch
+    carry persists across the sequential TPU grid).
+    """
+    assert _supported(curve)
+    f = curve.field
+    n = f.n_limbs
+    Cb = min(Cb, C)
+    while C % Cb:           # largest row-chunk <= Cb dividing C
+        Cb -= 1
+    Lb = min(Lb, L)
+    assert L % Lb == 0 and Lb % 128 == 0
+    S = Lb // 128
+    rowsL = L // 128
+    GC = C // Cb
+    GL = L // Lb
+    sentinel = np.uint32(nbuck)
+
+    from ..utils.bigint import int_to_limbs
+    one_limbs = int_to_limbs(f.encode_int(1), n, f.limb_bits)
+
+    def body(key_ref, val_ref, out_ref, lk_ref, tail_ref, pk_ref, acc_ref):
+        ci = pl.program_id(1)
+
+        @pl.when(ci == 0)
+        def _init():
+            pk_ref[...] = jnp.full((S, 128), sentinel, jnp.uint32)
+            for c in range(3):
+                for i in range(n):
+                    v = one_limbs[i] if c == 1 else 0  # identity (0 : 1 : 0)
+                    acc_ref[c, i, :, :] = jnp.full((S, 128), np.uint32(v),
+                                                   jnp.uint32)
+
+        pk = pk_ref[...]
+        acc = [[acc_ref[c, i, :, :] for i in range(n)] for c in range(3)]
+        for r in range(Cb):
+            k = key_ref[r, :, :]
+            v = [[val_ref[r, c, i, :, :] for i in range(n)] for c in range(3)]
+            A = [K.kfe_from_rows(f, rows) for rows in acc]
+            V = [K.kfe_from_rows(f, rows) for rows in v]
+            cand = [K.ksteady(x) for x in _KADD[curve.strategy](curve, *A, *V)]
+            same = k == pk
+            acc = [[jnp.where(same, cand[c].limbs[i], v[c][i])
+                    for i in range(n)] for c in range(3)]
+            for c in range(3):
+                for i in range(n):
+                    out_ref[r, c, i, :, :] = acc[c][i]
+            pk = k
+        pk_ref[...] = pk
+        for c in range(3):
+            for i in range(n):
+                acc_ref[c, i, :, :] = acc[c][i]
+
+        @pl.when(ci == GC - 1)
+        def _fin():
+            lk_ref[...] = pk
+            for c in range(3):
+                for i in range(n):
+                    tail_ref[c, i, :, :] = acc[c][i]
+
+    kv = pl.BlockSpec((Cb, S, 128), lambda l, c: (c, l, 0),
+                      memory_space=pltpu.VMEM)
+    vv = pl.BlockSpec((Cb, 3, n, S, 128), lambda l, c: (c, 0, 0, l, 0),
+                      memory_space=pltpu.VMEM)
+    ov = pl.BlockSpec((Cb, 3, n, S, 128), lambda l, c: (c, 0, 0, l, 0),
+                      memory_space=pltpu.VMEM)
+    lkv = pl.BlockSpec((S, 128), lambda l, c: (l, 0), memory_space=pltpu.VMEM)
+    tv = pl.BlockSpec((3, n, S, 128), lambda l, c: (0, 0, l, 0),
+                      memory_space=pltpu.VMEM)
+
+    def run(key2, val2):
+        k4 = key2.reshape(C, rowsL, 128)
+        v5 = val2.reshape(C, 3, n, rowsL, 128)
+        scanned, lk, tail = pl.pallas_call(
+            body,
+            out_shape=(jax.ShapeDtypeStruct((C, 3, n, rowsL, 128), jnp.uint32),
+                       jax.ShapeDtypeStruct((rowsL, 128), jnp.uint32),
+                       jax.ShapeDtypeStruct((3, n, rowsL, 128), jnp.uint32)),
+            grid=(GL, GC),
+            in_specs=[kv, vv],
+            out_specs=(ov, lkv, tv),
+            scratch_shapes=[pltpu.VMEM((S, 128), jnp.uint32),
+                            pltpu.VMEM((3, n, S, 128), jnp.uint32)],
+        )(k4, v5)
+        return (scanned.reshape(C, 3, n, L), lk.reshape(L),
+                tail.reshape(3, n, L))
+
+    return run
+
+
+def _shift_flat(x, s: int, forward: bool):
+    """Circular shift of a [S, 128] tile over its FLATTENED S*128 index:
+    forward=True -> y[j] = x[j+s]; False -> y[j] = x[j-s]. s static.
+    Powers-of-two shifts decompose into a sublane roll plus a lane roll with
+    a row-boundary select — all Mosaic-friendly static ops."""
+    S = x.shape[0]
+    sgn = 1 if forward else -1
+    q, r = divmod(s, 128)
+    z = jnp.roll(x, -sgn * q, axis=0) if q else x
+    if r == 0:
+        return z
+    a = jnp.roll(z, -sgn * r, axis=1)
+    b = jnp.roll(a, -sgn, axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
+    if forward:
+        return jnp.where(lane < 128 - r, a, b)
+    return jnp.where(lane >= r, a, b)
+
+
+def _ident_rows(f, shape):
+    from ..utils.bigint import int_to_limbs
+
+    one = int_to_limbs(f.encode_int(1), f.n_limbs, f.limb_bits)
+    return [[jnp.full(shape, np.uint32(one[i] if c == 1 else 0), jnp.uint32)
+             for i in range(f.n_limbs)] for c in range(3)]
+
+
+@functools.lru_cache(maxsize=None)
+def fixup_call(curve: CurveSpec, L: int):
+    """Fused Pippenger lane fix-up (parallel/msm.py step 4+5): segmented
+    Hillis-Steele over the L per-lane tail sums (keyed on last_key, monotone)
+    followed by the carry select and the leading-run correction padd — 14
+    point-ops in one kernel instead of 14 separate XLA padds.
+
+    jitted (t_l [3,n,L], last_key [L], first_key [L], lead_vals [3,n,L])
+      -> fixed [3, n, L]
+    """
+    assert _supported(curve)
+    f = curve.field
+    n = f.n_limbs
+    assert L % 128 == 0
+    S = L // 128
+    nsteps = max(L.bit_length() - 1, 0)
+
+    def body(t_ref, lk_ref, fk_ref, lv_ref, o_ref):
+        lk = lk_ref[...]
+        flat = (jax.lax.broadcasted_iota(jnp.int32, (S, 128), 0) * 128
+                + jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1))
+        vals = [[t_ref[c, i, :, :] for i in range(n)] for c in range(3)]
+        for k in range(nsteps):
+            s = 1 << k
+            rolled = [[_shift_flat(vals[c][i], s, False) for i in range(n)]
+                      for c in range(3)]
+            A = [K.kfe_from_rows(f, vals[c]) for c in range(3)]
+            B = [K.kfe_from_rows(f, rolled[c]) for c in range(3)]
+            cand = [K.ksteady(x) for x in _KADD[curve.strategy](curve, *A, *B)]
+            ok = (_shift_flat(lk, s, False) == lk) & (flat >= s)
+            vals = [[jnp.where(ok, cand[c].limbs[i], vals[c][i])
+                     for i in range(n)] for c in range(3)]
+        # carry = T_incl[l-1] if first_key[l] == last_key[l-1] else identity
+        carry_ok = (fk_ref[...] == _shift_flat(lk, 1, False)) & (flat >= 1)
+        ident = _ident_rows(f, (S, 128))
+        carry = [[jnp.where(carry_ok, _shift_flat(vals[c][i], 1, False),
+                            ident[c][i]) for i in range(n)] for c in range(3)]
+        LV = [K.kfe_from_rows(f, [lv_ref[c, i, :, :] for i in range(n)])
+              for c in range(3)]
+        CA = [K.kfe_from_rows(f, carry[c]) for c in range(3)]
+        out = [K.ksteady(x) for x in _KADD[curve.strategy](curve, *LV, *CA)]
+        for c in range(3):
+            for i in range(n):
+                o_ref[c, i, :, :] = out[c].limbs[i]
+
+    pv = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def run(t_l, last_key, first_key, lead_vals):
+        out = pl.pallas_call(
+            body,
+            out_shape=jax.ShapeDtypeStruct((3, n, S, 128), jnp.uint32),
+            in_specs=[pv, pv, pv, pv],
+            out_specs=pv,
+        )(t_l.reshape(3, n, S, 128), last_key.reshape(S, 128),
+          first_key.reshape(S, 128), lead_vals.reshape(3, n, S, 128))
+        return out.reshape(3, n, L)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def bucket_reduce_call(curve: CurveSpec, nbuck: int):
+    """Fused Pippenger bucket reduction (parallel/msm.py step 8):
+    sum_b b*S_b = sum_{b>=1} suffix_b via a guarded suffix Hillis-Steele then
+    a circular all-reduce, 2*log2(nbuck) point-ops in one kernel.
+
+    jitted (buckets [3, n, nbuck]) -> S [3, n] packed as [3, n, nbuck]
+    (every flat lane holds the total; the caller takes lane 0).
+    """
+    assert _supported(curve)
+    f = curve.field
+    n = f.n_limbs
+    assert nbuck % 128 == 0
+    S = nbuck // 128
+    nsteps = nbuck.bit_length() - 1
+
+    def body(b_ref, o_ref):
+        flat = (jax.lax.broadcasted_iota(jnp.int32, (S, 128), 0) * 128
+                + jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1))
+        vals = [[b_ref[c, i, :, :] for i in range(n)] for c in range(3)]
+        ident = _ident_rows(f, (S, 128))
+
+        def hs(vals, guarded):
+            for k in range(nsteps):
+                s = 1 << k
+                rolled = [[_shift_flat(vals[c][i], s, True) for i in range(n)]
+                          for c in range(3)]
+                A = [K.kfe_from_rows(f, vals[c]) for c in range(3)]
+                B = [K.kfe_from_rows(f, rolled[c]) for c in range(3)]
+                cand = [K.ksteady(x)
+                        for x in _KADD[curve.strategy](curve, *A, *B)]
+                if guarded:
+                    ok = (flat + s) < nbuck
+                    vals = [[jnp.where(ok, cand[c].limbs[i], vals[c][i])
+                             for i in range(n)] for c in range(3)]
+                else:
+                    vals = [[cand[c].limbs[i] for i in range(n)]
+                            for c in range(3)]
+            return vals
+
+        vals = hs(vals, True)                      # suffix sums
+        zero0 = flat == 0                          # drop bucket 0
+        vals = [[jnp.where(zero0, ident[c][i], vals[c][i]) for i in range(n)]
+                for c in range(3)]
+        vals = hs(vals, False)                     # circular all-reduce
+        for c in range(3):
+            for i in range(n):
+                o_ref[c, i, :, :] = vals[c][i]
+
+    pv = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def run(buckets):
+        out = pl.pallas_call(
+            body,
+            out_shape=jax.ShapeDtypeStruct((3, n, S, 128), jnp.uint32),
+            in_specs=[pv],
+            out_specs=pv,
+        )(buckets.reshape(3, n, S, 128))
+        return out.reshape(3, n, nbuck)
+
+    return run
 
 
 def padd_pallas(a: P.Point, b: P.Point, block: int = 2048) -> P.Point:

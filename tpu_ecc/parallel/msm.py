@@ -208,8 +208,8 @@ def _hs_scan(curve: CurveSpec, limbs: jax.Array, nsteps: int, mode: str,
 
 
 def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
-                  lanes: int = 8192, scalar_bits=None, seg_unroll: int = 8,
-                  hs_unroll: int = 4) -> Point:
+                  lanes: int = 8192, scalar_bits=None, seg_unroll: int = 1,
+                  hs_unroll: int = 1, kernels=None) -> Point:
     """Bucketed Pippenger MSM -> single point (batch ()). See module doc.
 
     N must be a multiple of `lanes` (a power of two); w <= 16.
@@ -268,9 +268,19 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
             newacc = jnp.where(k_ == pk, cand, v_)
             return (k_, newacc), newacc
 
-        init = (jnp.full((L,), nbuck, U32), ident_L)        # nbuck != any key
-        (last_key, t_l), scanned = jax.lax.scan(
-            seg_step, init, (key2, val2), unroll=min(seg_unroll, C))
+        use_k = bool(kernels)
+        if kernels is None:
+            from ..ops import pallas_kernels as PK
+            use_k = (jax.default_backend() == "tpu" and PK._supported(curve)
+                     and L % 128 == 0)
+        if use_k:
+            from ..ops import pallas_kernels as PK
+            scanned, last_key, t_l = PK.segscan_call(
+                curve, C, L, nbuck)(key2, val2)
+        else:
+            init = (jnp.full((L,), nbuck, U32), ident_L)    # nbuck != any key
+            (last_key, t_l), scanned = jax.lax.scan(
+                seg_step, init, (key2, val2), unroll=min(seg_unroll, C))
         first_key = key2[0]
 
         # 4) stitch runs crossing lane boundaries: segmented Hillis-Steele
@@ -284,24 +294,34 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
             ok = (jnp.roll(last_key, s) == last_key) & (lane_idx >= s)
             return jnp.where(ok, cand, vals), None
 
-        if lsteps:
-            shifts = jnp.asarray([1 << i for i in range(lsteps)], jnp.int32)
-            T_incl, _ = jax.lax.scan(fix_step, t_l, shifts,
-                                     unroll=min(hs_unroll, lsteps))
-        else:
-            T_incl = t_l
-        carry_ok = (first_key == jnp.roll(last_key, 1)) & (lane_idx >= 1)
-        carry = jnp.where(carry_ok, jnp.roll(T_incl, 1, axis=-1), ident_L)
-
-        # 5) fixed value for each lane's leading-run end
+        # 5) value at each lane's leading-run end (gathered before fix-up so
+        # the fused kernel can consume it directly)
         lead_end = jnp.sum((key2 == first_key[None, :]).astype(jnp.int32),
                            axis=0) - 1                      # [L]
         lead_vals = jnp.take_along_axis(
             scanned, jnp.broadcast_to(lead_end[None, None, None, :],
                                       (1, 3, n, L)), axis=0)[0]  # [3, n, L]
-        fixed = P.point_limbs(P.steady(P.padd(
-            P.point_from_limbs(curve, lead_vals),
-            P.point_from_limbs(curve, carry))))
+        # 4) stitch runs crossing lane boundaries + apply the carry
+        if kernels == "full":
+            # experimental: fused fix-up kernel (not yet TPU-verified — the
+            # chipless AOT compile of the full-kernel program did not finish
+            # before the round's tunnel outage; see PERF.md)
+            from ..ops import pallas_kernels as PK
+            fixed = PK.fixup_call(curve, L)(t_l, last_key, first_key,
+                                            lead_vals)
+        else:
+            if lsteps:
+                shifts = jnp.asarray([1 << i for i in range(lsteps)],
+                                     jnp.int32)
+                T_incl, _ = jax.lax.scan(fix_step, t_l, shifts,
+                                         unroll=min(hs_unroll, lsteps))
+            else:
+                T_incl = t_l
+            carry_ok = (first_key == jnp.roll(last_key, 1)) & (lane_idx >= 1)
+            carry = jnp.where(carry_ok, jnp.roll(T_incl, 1, axis=-1), ident_L)
+            fixed = P.point_limbs(P.steady(P.padd(
+                P.point_from_limbs(curve, lead_vals),
+                P.point_from_limbs(curve, carry))))
 
         # 6) global run-end mask in sorted order
         nxt = jnp.concatenate([skey[1:], jnp.full((1,), nbuck, U32)])
@@ -325,10 +345,16 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
         buckets = jnp.moveaxis(buckets_m, 0, -1).reshape(3, n, nbuck)
 
         # 8) weighted bucket sum: sum_b b*S_b = sum_{b>=1} suffix_b
-        suff = _hs_scan(curve, buckets, w, "suffix", unroll=hs_unroll)
-        suff = suff.at[:, :, 0].set(ident1)                 # drop bucket 0
-        S = P.point_from_limbs(
-            curve, _hs_scan(curve, suff, w, "total", unroll=hs_unroll)[..., 0])
+        if kernels == "full" and nbuck % 128 == 0:
+            from ..ops import pallas_kernels as PK
+            red = PK.bucket_reduce_call(curve, nbuck)(buckets)
+            S = P.point_from_limbs(curve, red[..., 0])
+        else:
+            suff = _hs_scan(curve, buckets, w, "suffix", unroll=hs_unroll)
+            suff = suff.at[:, :, 0].set(ident1)             # drop bucket 0
+            S = P.point_from_limbs(
+                curve,
+                _hs_scan(curve, suff, w, "total", unroll=hs_unroll)[..., 0])
 
         # 9) acc = 2^w * acc + S
         def dbl(_, a):
