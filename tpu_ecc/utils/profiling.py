@@ -56,6 +56,9 @@ def time_fn(fn, *args, iters: int = 16, chain=None, block=None):
         return time.perf_counter() - t0, args
 
     c1 = max(iters // 4, 1)
-    t1, args = run(c1, args)
-    t2, args = run(c1 + iters, args)
-    return max(t2 - t1, 1e-9) / iters
+    best = float("inf")
+    for _ in range(2):  # best-of: co-tenant stalls only ever add time
+        t1, args = run(c1, args)
+        t2, args = run(c1 + iters, args)
+        best = min(best, max(t2 - t1, 1e-9) / iters)
+    return best
