@@ -86,9 +86,68 @@ def test_kernel_formulas(name, rng):
         assert (gx[i], gy[i]) == H.aff_mul(c, 2 * ks[i], H.aff_generator(c))
 
 
-# NOTE: a full pallas_call interpret-mode test was removed: interpreting the
-# unrolled KFE kernel takes >25 min on this 4-core host (the jaxpr is ~20x
+@pytest.mark.parametrize("name", ["secp256k1", "p192"])
+def test_kernel_mixed_formulas(name, rng):
+    """The kernel-body RCB mixed-add formulas (_KADD_MIXED, Algs 5/8) vs the
+    host oracle at graph level — the genmul_call / comb fixed-base body."""
+    c = get_curve(name)
+    s = c.field
+    B = 8
+    ks = [rng.randrange(1, c.n) for _ in range(B)]
+    pts = [H.aff_mul(c, k, H.aff_generator(c)) for k in ks]
+    xs = F.fe_from_ints(s, [p_[0] for p_ in pts])
+    ys = F.fe_from_ints(s, [p_[1] for p_ in pts])
+    one = F.fone(s, (B,))
+    A = (_kfe_of(s, xs, B), _kfe_of(s, ys, B), _kfe_of(s, one, B))
+    g = P.generator(c, (B,))
+    gx2, gy2 = _kfe_of(s, g.x, B), _kfe_of(s, g.y, B)
+
+    X3, Y3, Z3 = PK._KADD_MIXED[c.strategy](c, *A, gx2, gy2)
+    zi = [pow(z, -1, c.p) for z in _ints_of(s, Z3, B)]
+    gx = [(x * i) % c.p for x, i in zip(_ints_of(s, X3, B), zi)]
+    gy = [(y * i) % c.p for y, i in zip(_ints_of(s, Y3, B), zi)]
+    for i in range(B):
+        assert (gx[i], gy[i]) == H.aff_mul(c, ks[i] + 1, H.aff_generator(c))
+
+
+@pytest.mark.slow
+def test_genmul_kernel_interpret(rng):
+    """Compiled-path genmul_call in interpret mode, truncated to 4 windows
+    (16-bit scalars) so interpret stays tractable, vs the host oracle —
+    exercises the SMEM table select, identity masking and VMEM accumulator
+    carry (the full-width kernel is asserted bit-equal to the XLA
+    mul_by_generator on real TPU by tools/bench_genmul.py)."""
+    import numpy as np
+    from tpu_ecc.ops import scalarmul as SM
+
+    c = get_curve("secp256k1")
+    B, bits = 128, 16
+    nw = bits // 4
+    ks = [rng.randrange(0, 1 << bits) for _ in range(B)]
+    ks[0] = 0
+    ks[1] = 16
+    k_l = SM.pack_scalars(c, ks)
+    digs = SM.window_digits(c, k_l, bits)[::-1]
+    xs_np, ys_np = SM._gen_tables_np(c)
+    tbl = jnp.asarray(np.stack([xs_np[:nw], ys_np[:nw]], axis=2))
+    out = PK.genmul_call(c, nw, B, interpret=True)(tbl, digs)
+    import jax
+    x, y, inf = jax.jit(P.to_affine)(P.point_from_limbs(c, out))
+    xi, yi = F.fe_to_ints(x), F.fe_to_ints(y)
+    inf = list(map(bool, inf))
+    G = H.aff_generator(c)
+    for b in range(B):
+        exp = H.aff_mul(c, ks[b], G)
+        if exp is None:
+            assert inf[b]
+        else:
+            assert (xi[b], yi[b]) == exp
+
+
+# NOTE: full-width pallas_call interpret-mode tests are excluded: interpreting
+# the unrolled KFE kernel takes >25 min on this 4-core host (the jaxpr is ~20x
 # the graph path's). The compiled Mosaic path is instead asserted bit-equal
-# to the XLA path on real TPU by tools/bench_pallas.py and the MSM segscan
-# equality check (PERF.md); the kernel FORMULAS are covered at graph level
-# above on every run.
+# to the XLA path on real TPU by tools/bench_pallas.py (padd/pdouble chains),
+# tools/bench_ladder.py (scalar_mul + lincomb ladders), tools/bench_genmul.py
+# (comb fixed-base) and the MSM segscan equality check (PERF.md); the kernel
+# FORMULAS are covered at graph level above on every run.

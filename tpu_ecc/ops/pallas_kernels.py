@@ -165,8 +165,62 @@ def _kdouble_am3(c: CurveSpec, X, Y, Z):
     return X3, Y3, Z3
 
 
+def _kadd_mixed_a0(c: CurveSpec, X1, Y1, Z1, x2, y2):
+    """RCB 2015 Algorithm 8 (a = 0, Z2 = 1), cf. points._add_mixed_a0."""
+    t0 = X1 * x2
+    t1 = Y1 * y2
+    t3 = (x2 + y2) * (X1 + Y1)
+    t3 = t3 - (t0 + t1)
+    t4 = y2 * Z1 + Y1
+    Y3 = x2 * Z1 + X1
+    t0 = t0 + t0 + t0
+    t2 = _b3_mul_k(c, Z1)
+    Z3 = t1 + t2
+    t1 = t1 - t2
+    Y3 = _b3_mul_k(c, Y3)
+    X3 = t4 * Y3
+    t2 = t3 * t1
+    X3 = t2 - X3
+    Y3 = Y3 * t0
+    t1 = t1 * Z3
+    Y3 = t1 + Y3
+    t0 = t0 * t3
+    Z3 = Z3 * t4
+    Z3 = Z3 + t0
+    return X3, Y3, Z3
+
+
+def _kadd_mixed_am3(c: CurveSpec, X1, Y1, Z1, x2, y2):
+    """RCB 2015 Algorithm 5 (a = -3, Z2 = 1), cf. points._add_mixed_am3."""
+    t0 = X1 * x2
+    t1 = Y1 * y2
+    t3 = (x2 + y2) * (X1 + Y1)
+    t3 = t3 - (t0 + t1)
+    t4 = y2 * Z1 + Y1
+    Y3 = x2 * Z1 + X1
+    Z3 = _b_mul_k(c, Z1)
+    X3 = Y3 - Z3
+    Z3 = X3 + X3
+    X3 = X3 + Z3
+    Z3 = t1 - X3
+    X3 = t1 + X3
+    Y3 = _b_mul_k(c, Y3)
+    t1 = Z1 + Z1 + Z1
+    Y3 = Y3 - t1 - t0
+    Y3 = Y3 + Y3 + Y3
+    t0 = t0 + t0 + t0
+    t0 = t0 - t1
+    t1 = t4 * Y3
+    t2 = t0 * Y3
+    Y3 = X3 * Z3 + t2
+    X3 = t3 * X3 - t1
+    Z3 = t4 * Z3 + t3 * t0
+    return X3, Y3, Z3
+
+
 _KADD = {"a0": _kadd_a0, "a_minus3": _kadd_am3}
 _KDOUBLE = {"a0": _kdouble_a0, "a_minus3": _kdouble_am3}
+_KADD_MIXED = {"a0": _kadd_mixed_a0, "a_minus3": _kadd_mixed_am3}
 
 
 def _load(spec, ref, c: int):
@@ -532,6 +586,227 @@ def bucket_reduce_call(curve: CurveSpec, nbuck: int):
             out_specs=pv,
         )(buckets.reshape(3, n, S, 128))
         return out.reshape(3, n, nbuck)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def ladder_call(curve: CurveSpec, T: int, nw: int, B: int, block: int = 1024,
+                interpret: bool = False):
+    """Fused T-term Straus window ladder — the scalar_mul / ECDSA-verify
+    lincomb hot loop (scalarmul.py::{scalar_mul,lincomb}) as ONE kernel.
+
+    Per lane block: the 16-entry tables for all T terms are built in-kernel
+    (15 sequential adds each, via fori_loop into VMEM scratch — the XLA path
+    paid ~14 separate padd dispatches for this), then nw window steps of
+    [4 doublings + T (ct-select + add)] run with the accumulator carried in
+    VMEM scratch across the sequential window grid dimension. The ct select
+    reads all 16 entries per term (one fori_loop) — constant-time by
+    construction, like the XLA one-hot path.
+
+    jitted (bases uint32[T, 3, n, B], digs uint32[nw, T, B]) -> [3, n, B]
+    with digs MSB-window first (scalarmul.window_digits layout).
+    """
+    assert _supported(curve)
+    f = curve.field
+    n = f.n_limbs
+    assert B % 128 == 0
+    block = min(block, B)
+    S = block // 128
+    rows = B // 128
+    assert rows % S == 0
+    GL = rows // S
+    kadd = _KADD[curve.strategy]
+    kdouble = _KDOUBLE[curve.strategy]
+    stride = 3 * n          # tiles per table entry in the flat scratch
+
+    def _unflat(rows_):
+        return [K.kfe_from_rows(f, list(rows_[c * n:(c + 1) * n]))
+                for c in range(3)]
+
+    def _flat(fes):
+        return tuple(r for fe in fes for r in fe.limbs)
+
+    def body(base_ref, dig_ref, o_ref, tbl_ref, acc_ref):
+        ci = pl.program_id(1)
+
+        @pl.when(ci == 0)
+        def _init():
+            ident = _ident_rows(f, (S, 128))
+            for t in range(T):
+                off = t * 16 * stride
+                Bse = [K.kfe_from_rows(
+                    f, [base_ref[t, c, i, :, :] for i in range(n)])
+                    for c in range(3)]
+                rows0 = []
+                for c in range(3):
+                    for i in range(n):
+                        tbl_ref[off + c * n + i] = ident[c][i]
+                        tbl_ref[off + stride + c * n + i] = Bse[c].limbs[i]
+                        rows0.append(Bse[c].limbs[i])
+
+                def tstep(k, carry, off=off, Bse=Bse):
+                    nxt = [K.ksteady(v) for v in kadd(curve, *_unflat(carry),
+                                                      *Bse)]
+                    flat = _flat(nxt)
+                    for j, r in enumerate(flat):
+                        tbl_ref[off + k * stride + j] = r
+                    return flat
+
+                jax.lax.fori_loop(2, 16, tstep, tuple(rows0))
+            for c in range(3):
+                for i in range(n):
+                    acc_ref[c, i, :, :] = ident[c][i]
+
+        acc = tuple(acc_ref[c, i, :, :] for c in range(3) for i in range(n))
+
+        def dstep(_, carry):
+            return _flat([K.ksteady(v) for v in kdouble(curve, *_unflat(carry))])
+
+        acc = jax.lax.fori_loop(0, 4, dstep, acc)
+
+        for t in range(T):
+            dig = dig_ref[0, t, :, :]
+            off = t * 16 * stride
+
+            def sel_step(k, sel, dig=dig, off=off):
+                m = dig == k.astype(jnp.uint32)
+                base = off + k * stride
+                return tuple(jnp.where(m, tbl_ref[base + j], sel[j])
+                             for j in range(stride))
+
+            ident = _ident_rows(f, (S, 128))
+            sel = jax.lax.fori_loop(
+                0, 16, sel_step, tuple(r for cc in ident for r in cc))
+            new = _flat([K.ksteady(v)
+                         for v in kadd(curve, *_unflat(acc), *_unflat(sel))])
+            if T == 1:
+                # bit-parity with scalarmul.scalar_mul's XLA ladder, which
+                # seeds acc from the MSB window's table entry instead of
+                # adding it to the identity (add(O, P) returns a Y-scaled
+                # representative; a direct select keeps the exact limbs).
+                first = ci == 0
+                acc = tuple(jnp.where(first, sel[j], new[j])
+                            for j in range(stride))
+            else:
+                acc = new
+
+        for c in range(3):
+            for i in range(n):
+                acc_ref[c, i, :, :] = acc[c * n + i]
+
+        @pl.when(ci == nw - 1)
+        def _fin():
+            for c in range(3):
+                for i in range(n):
+                    o_ref[c, i, :, :] = acc[c * n + i]
+
+    bv = pl.BlockSpec((T, 3, n, S, 128), lambda l, c: (0, 0, 0, l, 0),
+                      memory_space=pltpu.VMEM)
+    dv = pl.BlockSpec((1, T, S, 128), lambda l, c: (c, 0, l, 0),
+                      memory_space=pltpu.VMEM)
+    ov = pl.BlockSpec((3, n, S, 128), lambda l, c: (0, 0, l, 0),
+                      memory_space=pltpu.VMEM)
+
+    def run(bases, digs):
+        b5 = bases.reshape(T, 3, n, rows, 128)
+        d4 = digs.reshape(nw, T, rows, 128)
+        out = pl.pallas_call(
+            body,
+            out_shape=jax.ShapeDtypeStruct((3, n, rows, 128), jnp.uint32),
+            grid=(GL, nw),
+            in_specs=[bv, dv],
+            out_specs=ov,
+            scratch_shapes=[pltpu.VMEM((T * 16 * stride, S, 128), jnp.uint32),
+                            pltpu.VMEM((3, n, S, 128), jnp.uint32)],
+            interpret=interpret,
+        )(b5, d4)
+        return out.reshape(3, n, B)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def genmul_call(curve: CurveSpec, nw: int, B: int, block: int = 1024,
+                interpret: bool = False):
+    """Fused comb fixed-base ladder — scalarmul.mul_by_generator (the ECDSA
+    sign hot loop, cf. k256/src/arithmetic/mul.rs:424-439) as ONE kernel.
+
+    Per window step: a constant-time 16-way select of the affine comb entry
+    (table scalars live in SMEM; the select is 16 masked broadcasts per limb,
+    no secret-indexed loads) feeds one complete mixed add (RCB Alg 5/8); the
+    accumulator rides VMEM scratch across the sequential window grid dim.
+    The XLA path paid one padd_mixed dispatch per window (nw total).
+
+    jitted (tbl uint32[nw, 16, 2, n], digs uint32[nw, B]) -> [3, n, B]
+    with window j LSB-first (table row j holds d * 16^j * G) matching
+    scalarmul._gen_tables_np; entry 0 is the dummy masked via dig == 0.
+    """
+    assert _supported(curve)
+    f = curve.field
+    n = f.n_limbs
+    assert B % 128 == 0
+    block = min(block, B)
+    S = block // 128
+    rows = B // 128
+    assert rows % S == 0
+    GL = rows // S
+    kadd_mixed = _KADD_MIXED[curve.strategy]
+
+    def body(tbl_ref, dig_ref, o_ref, acc_ref):
+        ci = pl.program_id(1)
+        ident = _ident_rows(f, (S, 128))
+
+        @pl.when(ci == 0)
+        def _init():
+            for c in range(3):
+                for i in range(n):
+                    acc_ref[c, i, :, :] = ident[c][i]
+
+        dig = dig_ref[0, :, :]
+        zero = jnp.zeros((S, 128), jnp.uint32)
+        sel = [[zero for _ in range(n)] for _ in range(2)]
+        for k in range(16):
+            m = dig == np.uint32(k)
+            for c in range(2):
+                for i in range(n):
+                    sel[c][i] = jnp.where(m, tbl_ref[0, k, c, i], sel[c][i])
+        x2 = K.kfe_from_rows(f, sel[0])
+        y2 = K.kfe_from_rows(f, sel[1])
+        acc = [[acc_ref[c, i, :, :] for i in range(n)] for c in range(3)]
+        A = [K.kfe_from_rows(f, rows_) for rows_ in acc]
+        new = [K.ksteady(v) for v in kadd_mixed(curve, *A, x2, y2)]
+        keep = dig == 0                           # comb entry 0 = identity
+        for c in range(3):
+            for i in range(n):
+                acc_ref[c, i, :, :] = jnp.where(keep, acc[c][i],
+                                                new[c].limbs[i])
+
+        @pl.when(ci == nw - 1)
+        def _fin():
+            for c in range(3):
+                for i in range(n):
+                    o_ref[c, i, :, :] = acc_ref[c, i, :, :]
+
+    tv = pl.BlockSpec((1, 16, 2, n), lambda l, c: (c, 0, 0, 0),
+                      memory_space=pltpu.SMEM)
+    dv = pl.BlockSpec((1, S, 128), lambda l, c: (c, l, 0),
+                      memory_space=pltpu.VMEM)
+    ov = pl.BlockSpec((3, n, S, 128), lambda l, c: (0, 0, l, 0),
+                      memory_space=pltpu.VMEM)
+
+    def run(tbl, digs):
+        d3 = digs.reshape(nw, rows, 128)
+        out = pl.pallas_call(
+            body,
+            out_shape=jax.ShapeDtypeStruct((3, n, rows, 128), jnp.uint32),
+            grid=(GL, nw),
+            in_specs=[tv, dv],
+            out_specs=ov,
+            scratch_shapes=[pltpu.VMEM((3, n, S, 128), jnp.uint32)],
+            interpret=interpret,
+        )(tbl, d3)
+        return out.reshape(3, n, B)
 
     return run
 

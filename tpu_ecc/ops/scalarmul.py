@@ -82,6 +82,23 @@ def _ct_lookup(tbl: jax.Array, digit: jax.Array) -> jax.Array:
     return jnp.sum(jnp.where(sel, tbl, np.uint32(0)), axis=0, dtype=U32)
 
 
+def _ladder_kernel_ok(curve: CurveSpec, batch_shape) -> bool:
+    """Use the fused Mosaic ladder kernel (pallas_kernels.ladder_call) when
+    the backend, curve backend and batch layout admit it; the XLA scan path
+    below remains the portable/compile-cheap fallback (and the CPU test
+    oracle the kernels are asserted bit-equal against)."""
+    import os
+
+    if os.environ.get("TPU_ECC_KERNELS", "1") == "0":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    from . import pallas_kernels as PK
+
+    return (PK._supported(curve) and len(batch_shape) == 1
+            and batch_shape[0] % 128 == 0)
+
+
 def _point_table(Q: Point, size: int = 16) -> jax.Array:
     """[O, Q, 2Q, .., (size-1)Q] as [size, 3, n, *batch] steady limb arrays
     (cf. table build in primeorder projective.rs:112-122)."""
@@ -105,6 +122,14 @@ def _point_table(Q: Point, size: int = 16) -> jax.Array:
 def scalar_mul(Q: Point, k_limbs: jax.Array) -> Point:
     """Constant-time k*Q over the batch (4-bit fixed window, 16-entry table)."""
     c = Q.curve
+    if _ladder_kernel_ok(c, Q.batch_shape):
+        from . import pallas_kernels as PK
+
+        digs = window_digits(c, k_limbs)
+        bases = P.point_limbs(P.steady(Q))[None]            # [1, 3, n, B]
+        out = PK.ladder_call(c, 1, digs.shape[0], Q.batch_shape[0])(
+            bases, digs[:, None])
+        return P.point_from_limbs(c, out)
     tbl = _point_table(Q)                       # [16, 3, n, *b]
     digs = window_digits(c, k_limbs)            # [nw, *b]
 
@@ -156,6 +181,12 @@ def mul_by_generator(curve: CurveSpec, k_limbs: jax.Array) -> Point:
     bshape = k_limbs.shape[1:]
     digs = window_digits(curve, k_limbs)        # [nw(msb first), *b]
     digs = digs[::-1]                           # windows j = 0..nw-1
+    if _ladder_kernel_ok(curve, bshape):
+        from . import pallas_kernels as PK
+
+        tbl = jnp.asarray(np.stack([xs_np, ys_np], axis=2))  # [nw, 16, 2, n]
+        out = PK.genmul_call(curve, nw, bshape[0])(tbl, digs)
+        return P.point_from_limbs(curve, out)
     xs = jnp.asarray(xs_np)                     # [nw, 16, n]
     ys = jnp.asarray(ys_np)
 
@@ -184,6 +215,16 @@ def lincomb(terms, scalar_bits=None) -> Point:
     (cf. lincomb in k256/src/arithmetic/mul.rs:342-393). scalar_bits bounds
     the window count for short scalars (GLV half-scalars)."""
     c = terms[0][0].curve
+    if _ladder_kernel_ok(c, terms[0][0].batch_shape):
+        from . import pallas_kernels as PK
+
+        digss = jnp.stack([window_digits(c, k, scalar_bits)
+                           for _, k in terms], axis=1)      # [nw, T, B]
+        bases = jnp.stack([P.point_limbs(P.steady(Q)) for Q, _ in terms],
+                          axis=0)                           # [T, 3, n, B]
+        out = PK.ladder_call(c, len(terms), digss.shape[0],
+                             terms[0][0].batch_shape[0])(bases, digss)
+        return P.point_from_limbs(c, out)
     tbls = [_point_table(Q) for Q, _ in terms]
     digss = jnp.stack([window_digits(c, k, scalar_bits) for _, k in terms],
                       axis=0)  # [T,nw,*b]
