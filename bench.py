@@ -246,7 +246,8 @@ def bench_ecdsa(name, B=4096, iters=3):
     record("ecdsa_verify_e2e", name, B, t, B / t, "verifies/s")
 
 
-def bench_msm(curve, log_n=20, w=13, lanes=8192, iters=3):
+def bench_msm(curve, log_n=20, w=13, lanes=8192, iters=3, kernels=None,
+              tag=""):
     """Pippenger MSM at 2^log_n points (the BASELINE.md north-star shape)."""
     import jax
     import jax.numpy as jnp
@@ -275,7 +276,8 @@ def bench_msm(curve, log_n=20, w=13, lanes=8192, iters=3):
     k_l = jnp.asarray(k_np)
 
     kern = jax.jit(lambda a, b, c, d: P.point_limbs(M.msm_pippenger(
-        curve, F.fe_steady(f, a), F.fe_steady(f, b), c, d, w=w, lanes=lanes)))
+        curve, F.fe_steady(f, a), F.fe_steady(f, b), c, d, w=w, lanes=lanes,
+        kernels=kernels)))
     out = kern(xs_l, ys_l, inf, k_l)
     _fetch(out)
     # min over iters: co-tenant stalls on the shared-pool chip reach seconds;
@@ -289,7 +291,8 @@ def bench_msm(curve, log_n=20, w=13, lanes=8192, iters=3):
         out = kern(xs_l, ys_l, inf, k_l)
         _fetch(out)
         t = min(t, time.perf_counter() - t0)
-    record(f"msm_pippenger_2^{log_n}", curve.name, N, t, N / t, "points/s")
+    record(f"msm_pippenger{tag}_2^{log_n}", curve.name, N, t, N / t,
+           "points/s")
     return N / t
 
 
@@ -306,11 +309,15 @@ def main():
     if full:
         for name in ("secp256k1", "p256", "p384"):
             bench_field(get_curve(name))
-        for name in ("secp256k1", "p256"):
+        for name in ("secp256k1", "p256", "p384"):
             bench_scalarmul(get_curve(name))
-        for name in ("secp256k1", "p256"):
+        for name in ("secp256k1", "p256", "p384"):
             bench_ecdsa(name)
         bench_msm(k256, log_n=20)
+        if "--msm-full" in sys.argv:
+            # fused fix-up + bucket kernels (kernels="full"): ~16min first
+            # compile through the axon remote compiler, so opt-in
+            bench_msm(k256, log_n=20, kernels="full", tag="_full")
         import jax
         payload = {
             "hardware": str(jax.devices()[0]),

@@ -32,9 +32,11 @@ def _ints_of(spec, kfe: K.KFE, B: int):
     return F.fe_to_ints(F.FE(arr, spec, kfe.bound, kfe.vmax))
 
 
-def test_kfe_matches_fe(rng):
-    """KFE field ops == fe ops == host ints (graph level, no pallas)."""
-    c = get_curve("secp256k1")
+@pytest.mark.parametrize("name", ["secp256k1", "p256"])
+def test_kfe_matches_fe(name, rng):
+    """KFE field ops == fe ops == host ints (graph level, no pallas) for
+    both kernel backends: solinas (secp256k1) and Montgomery CIOS (p256)."""
+    c = get_curve(name)
     s = c.field
     B = 8
     av = [rng.randrange(s.p) for _ in range(B)]
@@ -55,10 +57,11 @@ def test_kfe_matches_fe(rng):
     assert ints(deep) == want
 
 
-@pytest.mark.parametrize("name", ["secp256k1", "p192"])
+@pytest.mark.parametrize("name", ["secp256k1", "p192", "p256", "bp256r1"])
 def test_kernel_formulas(name, rng):
-    """The kernel-body RCB formulas on KFE vs the host oracle (a0 via
-    secp256k1, a_minus3 via p192 — the small solinas representatives)."""
+    """The kernel-body RCB formulas on KFE vs the host oracle: a0 solinas
+    (secp256k1), a_minus3 solinas (p192), a_minus3 Montgomery (p256) and
+    generic-a Montgomery (bp256r1) — every backend x strategy pairing."""
     c = get_curve(name)
     s = c.field
     B = 8
@@ -86,7 +89,7 @@ def test_kernel_formulas(name, rng):
         assert (gx[i], gy[i]) == H.aff_mul(c, 2 * ks[i], H.aff_generator(c))
 
 
-@pytest.mark.parametrize("name", ["secp256k1", "p192"])
+@pytest.mark.parametrize("name", ["secp256k1", "p192", "p256", "bp256r1"])
 def test_kernel_mixed_formulas(name, rng):
     """The kernel-body RCB mixed-add formulas (_KADD_MIXED, Algs 5/8) vs the
     host oracle at graph level — the genmul_call / comb fixed-base body."""

@@ -47,7 +47,8 @@ def main():
         print(f"  {name}: {best*1e3:.2f} ms  {B/best:.3e} /s")
         return out
 
-    for name in ("secp256k1", "p192"):
+    names = sys.argv[2:] or ("secp256k1", "p192")
+    for name in names:
         curve = get_curve(name)
         rng = np.random.default_rng(13)
         ks = [int.from_bytes(rng.bytes(32), "big") % curve.n for _ in range(B)]

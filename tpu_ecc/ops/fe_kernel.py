@@ -14,11 +14,13 @@ limb; the limb axis lives entirely in Python (unrolled SSA values), so Mosaic
 never sees a sublane-axis reshape. The schoolbook convolution becomes n^2
 explicit multiply-adds into 2n-1 accumulator locals; carry chains unroll.
 
-Same math as fe.py: 13-bit solinas limbs with the static trace-time
-bound/vmax ledger deciding where carries are emitted (the bound constants and
+Same math as fe.py: 13/12-bit limbs with the static trace-time bound/vmax
+ledger deciding where carries are emitted (the bound constants and
 `_sub_bias` are shared with fe.py so the two engines cannot drift apart).
-Montgomery-backend fields are not supported in kernels (solinas covers the
-headline curves: secp256k1, P-521, P-192, bign256).
+Both backends are supported: solinas (fold-constant reduction — secp256k1,
+P-521, P-192, bign256) and Montgomery CIOS (headroom-limb word-by-word
+reduction, cf. fe._mont_reduce — P-224/256/384, SM2, brainpool), each as
+explicit per-limb locals with unrolled carry chains.
 """
 
 from __future__ import annotations
@@ -36,7 +38,6 @@ class KFE:
     __slots__ = ("limbs", "spec", "bound", "vmax")
 
     def __init__(self, limbs, spec: FieldSpec, bound: int, vmax: int):
-        assert spec.kind == "solinas", "KFE supports solinas fields only"
         self.limbs = list(limbs)
         self.spec = spec
         self.bound = bound
@@ -146,16 +147,85 @@ def _solinas_reduce_k(spec: FieldSpec, cols: list, bound: int, vmax: int) -> KFE
     return KFE(cols, spec, mask, min(vmax, W - 1))
 
 
+def _mont_reduce_k(spec: FieldSpec, cols: list, in_vmax: int) -> KFE:
+    """List-form port of fe._mont_reduce (word-by-word Montgomery CIOS):
+    2n explicit column locals, the m*p accumulation as per-limb multiply-adds
+    (zero p-limbs skipped), carry chain unrolled — no sublane restructuring
+    for Mosaic to relayout."""
+    b, n, mask, n0 = spec.limb_bits, spec.n_limbs, spec.mask, spec.n0
+    cols = list(cols)
+    zero = jnp.zeros_like(cols[0])
+    while len(cols) < 2 * n:
+        cols.append(zero)
+    bs, ms, n0s = np.uint32(b), np.uint32(mask), np.uint32(n0)
+    for i in range(n):
+        m = (cols[i] * n0s) & ms
+        for j, pj in enumerate(spec.p_limbs):
+            if pj:
+                cols[i + j] = cols[i + j] + m * np.uint32(pj)
+        cols[i + 1] = cols[i + 1] + (cols[i] >> bs)
+    out_vmax = in_vmax // spec.W + spec.p + 1
+    assert out_vmax < spec.W
+    rows, _ = _carry_unrolled(cols[n:2 * n], b, mask)  # carry-out provably 0
+    return KFE(rows, spec, mask, out_vmax)
+
+
 def kcarry(x: KFE) -> KFE:
     s = x.spec
     if x.bound <= s.mask:
         return x
+    if s.kind == "mont":
+        assert x.vmax < s.W, (
+            f"{s.name}: value bound 2^{x.vmax.bit_length()} overflows"
+            " representation; insert an explicit reduction")
+        assert x.bound + (x.bound >> s.limb_bits) + 2 < (1 << 32)
+        rows, _ = _carry_unrolled(x.limbs, s.limb_bits, s.mask)
+        return KFE(rows, s, s.mask, x.vmax)
     assert x.vmax < s.carry_in_vmax, f"{s.name}: carry entry vmax too large"
     return _solinas_reduce_k(s, x.limbs, x.bound, x.vmax)
 
 
+def _cond_sub_k(spec: FieldSpec, cols: list, m_limbs):
+    """Constant-time conditional subtract (list-form fe._cond_sub): the
+    borrow chain unrolled over the limb list."""
+    b, mask = spec.limb_bits, spec.mask
+    bs, ms, one = np.uint32(b), np.uint32(mask), np.uint32(1)
+    borrow = jnp.zeros_like(cols[0])
+    sub = []
+    for r, ml in zip(cols, m_limbs):
+        t = r + np.uint32((1 << b) - ml) - borrow
+        sub.append(t & ms)
+        borrow = one - (t >> bs)
+    ge = borrow == 0              # no final borrow -> cols >= m
+    return [jnp.where(ge, sv, cv) for sv, cv in zip(sub, cols)], ge
+
+
+def kreduce(x: KFE, mult: int = 1) -> KFE:
+    """Constant-time reduce below mult*p (list-form fe.freduce): identical
+    static schedule of conditional subtractions of p << i."""
+    s = x.spec
+    x = kcarry(x)
+    cols = list(x.limbs)
+    vmax = min(x.vmax, s.W - 1)
+    lo = mult.bit_length() - 1
+    assert mult == 1 << lo
+    i = max(lo, (vmax // s.p).bit_length() - 1)
+    while vmax >= mult * s.p and i >= lo:
+        m = s.p << i
+        if m < s.W:
+            cols, _ = _cond_sub_k(s, cols,
+                                  int_to_limbs(m, s.n_limbs, s.limb_bits))
+            vmax = max(m - 1, vmax - m)
+        i -= 1
+    assert vmax < mult * s.p
+    return KFE(cols, s, s.mask, vmax)
+
+
 def ksteady(x: KFE) -> KFE:
     s = x.spec
+    if s.kind == "mont":
+        x = kreduce(x, 4)         # cf. points.steady's freduce(v, 4)
+        return KFE(x.limbs, s, s.mask, s.carried_vmax)
     x = kcarry(x)
     assert x.vmax <= s.carried_vmax, f"{s.name}: not steady"
     return KFE(x.limbs, s, s.mask, s.carried_vmax)
@@ -226,6 +296,10 @@ def kmul(x: KFE, y: KFE) -> KFE:
         y = kcarry(y)
     cols = _conv_k(x.limbs, y.limbs)
     col_bound = s.n_limbs * x.bound * y.bound
+    if s.kind == "mont":
+        assert (col_bound + s.n_limbs * (1 << (2 * s.limb_bits))
+                + (1 << 21) < (1 << 32))
+        return _mont_reduce_k(s, cols, x.vmax * y.vmax)
     assert col_bound < (1 << 32)
     return _solinas_reduce_k(s, cols, col_bound, x.vmax * y.vmax)
 
@@ -248,6 +322,10 @@ def ksquare(x: KFE) -> KFE:
         for j in range(i + 1, n):
             put(i + j, d * x.limbs[j])
     col_bound = 2 * s.n_limbs * x.bound * x.bound
+    if s.kind == "mont":
+        assert (col_bound + s.n_limbs * (1 << (2 * s.limb_bits))
+                + (1 << 21) < (1 << 32))
+        return _mont_reduce_k(s, acc, x.vmax * x.vmax)
     assert col_bound < (1 << 32)
     return _solinas_reduce_k(s, acc, col_bound, x.vmax * x.vmax)
 

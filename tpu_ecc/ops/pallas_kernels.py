@@ -11,10 +11,11 @@ concat. This version uses the kernel-native KFE engine (fe_kernel.py): one
 explicit accumulator locals — zero concat/pad/scatter in the kernel body.
 
 Formulas are the same complete RCB 2015 algorithms as ops/points.py
-(Algorithms 7/9 for a = 0, 4/6 for a = -3; cf. k256/src/arithmetic/
-projective.rs:96-276 and primeorder/src/point_arithmetic.rs), transcribed
-onto KFE. Solinas-backend curves only (secp256k1, P-521, P-192, bign256) —
-the Montgomery backend's headroom-limb dataflow stays on the XLA path.
+(Algorithms 7/9 for a = 0, 4/6 for a = -3, 1/3 for generic a; cf.
+k256/src/arithmetic/projective.rs:96-276 and primeorder/src/
+point_arithmetic.rs), transcribed onto KFE. Both field backends are
+kernel-native — solinas fold reduction AND Montgomery CIOS
+(fe_kernel._mont_reduce_k) — so every registered curve routes here.
 
 Layout: a point batch block is uint32[3, n_limbs, S, 128] — batch lanes
 split (sublane, lane) so each per-limb op is a full native VPU tile.
@@ -37,15 +38,19 @@ from . import points as P
 
 def _b3_mul_k(curve: CurveSpec, t: K.KFE) -> K.KFE:
     b3 = (3 * curve.b) % curve.p
-    if b3 < (1 << 14):
+    if curve.field.kind == "solinas" and b3 < (1 << 14):
         return K.kmul_small(t, b3)
     return K.kmul(K.kfe_const(curve.field, b3, t.limbs[0].shape), t)
 
 
 def _b_mul_k(curve: CurveSpec, t: K.KFE) -> K.KFE:
-    if curve.b < (1 << 14):
+    if curve.field.kind == "solinas" and curve.b < (1 << 14):
         return K.kmul_small(t, curve.b)
     return K.kmul(K.kfe_const(curve.field, curve.b, t.limbs[0].shape), t)
+
+
+def _ka_mul(curve: CurveSpec, t: K.KFE) -> K.KFE:
+    return K.kmul(K.kfe_const(curve.field, curve.a, t.limbs[0].shape), t)
 
 
 def _kadd_a0(c: CurveSpec, X1, Y1, Z1, X2, Y2, Z2):
@@ -218,9 +223,98 @@ def _kadd_mixed_am3(c: CurveSpec, X1, Y1, Z1, x2, y2):
     return X3, Y3, Z3
 
 
-_KADD = {"a0": _kadd_a0, "a_minus3": _kadd_am3}
-_KDOUBLE = {"a0": _kdouble_a0, "a_minus3": _kdouble_am3}
-_KADD_MIXED = {"a0": _kadd_mixed_a0, "a_minus3": _kadd_mixed_am3}
+def _kadd_generic(c: CurveSpec, X1, Y1, Z1, X2, Y2, Z2):
+    """RCB 2015 Algorithm 1 (generic a), cf. points._add_generic."""
+    t0 = X1 * X2
+    t1 = Y1 * Y2
+    t2 = Z1 * Z2
+    t3 = (X1 + Y1) * (X2 + Y2)
+    t3 = t3 - (t0 + t1)
+    t4 = (X1 + Z1) * (X2 + Z2)
+    t4 = t4 - (t0 + t2)
+    t5 = (Y1 + Z1) * (Y2 + Z2)
+    t5 = t5 - (t1 + t2)
+    Z3 = _ka_mul(c, t4)
+    X3 = _b3_mul_k(c, t2)
+    Z3 = X3 + Z3
+    X3 = t1 - Z3
+    Z3 = t1 + Z3
+    Y3 = X3 * Z3
+    t1 = t0 + t0 + t0
+    t2 = _ka_mul(c, t2)
+    t4 = _b3_mul_k(c, t4)
+    t1 = t1 + t2
+    t2 = _ka_mul(c, t0 - t2)
+    t4 = t4 + t2
+    Y3 = Y3 + t1 * t4
+    X3 = t3 * X3 - t5 * t4
+    Z3 = t5 * Z3 + t3 * t1
+    return X3, Y3, Z3
+
+
+def _kadd_mixed_generic(c: CurveSpec, X1, Y1, Z1, x2, y2):
+    """RCB 2015 Algorithm 2 (generic a, Z2 = 1), cf. points._add_mixed_generic."""
+    t0 = X1 * x2
+    t1 = Y1 * y2
+    t3 = (x2 + y2) * (X1 + Y1)
+    t3 = t3 - (t0 + t1)
+    t4 = x2 * Z1 + X1
+    t5 = y2 * Z1 + Y1
+    Z3 = _ka_mul(c, t4)
+    X3 = _b3_mul_k(c, Z1)
+    Z3 = X3 + Z3
+    X3 = t1 - Z3
+    Z3 = t1 + Z3
+    Y3 = X3 * Z3
+    t1 = t0 + t0 + t0
+    t2 = _ka_mul(c, Z1)
+    t4 = _b3_mul_k(c, t4)
+    t1 = t1 + t2
+    t2 = _ka_mul(c, t0 - t2)
+    t4 = t4 + t2
+    Y3 = Y3 + t1 * t4
+    X3 = t3 * X3 - t5 * t4
+    Z3 = t5 * Z3 + t3 * t1
+    return X3, Y3, Z3
+
+
+def _kdouble_generic(c: CurveSpec, X, Y, Z):
+    """RCB 2015 Algorithm 3 (generic a), cf. points._double_generic."""
+    t0 = X * X
+    t1 = Y * Y
+    t2 = Z * Z
+    t3 = X * Y
+    t3 = t3 + t3
+    Z3 = X * Z
+    Z3 = Z3 + Z3
+    X3 = _ka_mul(c, Z3)
+    Y3 = _b3_mul_k(c, t2)
+    Y3 = X3 + Y3
+    X3 = t1 - Y3
+    Y3 = t1 + Y3
+    Y3 = X3 * Y3
+    X3 = t3 * X3
+    Z3 = _b3_mul_k(c, Z3)
+    t2 = _ka_mul(c, t2)
+    t3 = _ka_mul(c, t0 - t2)
+    t3 = t3 + Z3
+    t0 = t0 + t0 + t0 + t2
+    t0 = t0 * t3
+    Y3 = Y3 + t0
+    t2 = Y * Z
+    t2 = t2 + t2
+    X3 = X3 - t2 * t3
+    Z3 = t2 * t1
+    Z3 = Z3 + Z3
+    Z3 = Z3 + Z3
+    return X3, Y3, Z3
+
+
+_KADD = {"a0": _kadd_a0, "a_minus3": _kadd_am3, "generic": _kadd_generic}
+_KDOUBLE = {"a0": _kdouble_a0, "a_minus3": _kdouble_am3,
+            "generic": _kdouble_generic}
+_KADD_MIXED = {"a0": _kadd_mixed_a0, "a_minus3": _kadd_mixed_am3,
+               "generic": _kadd_mixed_generic}
 
 
 def _load(spec, ref, c: int):
@@ -252,7 +346,8 @@ def _pdouble_kernel_body(curve: CurveSpec, a_ref, o_ref):
 
 
 def _supported(curve: CurveSpec):
-    return curve.field.kind == "solinas" and curve.strategy in _KADD
+    """All 12 curves: solinas + Montgomery KFE backends, all 3 RCB strategies."""
+    return curve.field.kind in ("solinas", "mont") and curve.strategy in _KADD
 
 
 @functools.lru_cache(maxsize=None)
@@ -612,13 +707,18 @@ def ladder_call(curve: CurveSpec, T: int, nw: int, B: int, block: int = 1024,
     n = f.n_limbs
     assert B % 128 == 0
     block = min(block, B)
+    stride = 3 * n          # tiles per table entry in the flat scratch
+    # VMEM budget: the in-kernel table dominates ((T*16+4)*stride tiles of
+    # [S,128] uint32); keep it within ~10MB of the ~16MB/core so wide-limb
+    # curves (p384: n=31) and multi-term ladders fit.
+    while block > 128 and (T * 16 + 4) * stride * (block // 128) * 512 > 10 << 20:
+        block //= 2
     S = block // 128
     rows = B // 128
     assert rows % S == 0
     GL = rows // S
     kadd = _KADD[curve.strategy]
     kdouble = _KDOUBLE[curve.strategy]
-    stride = 3 * n          # tiles per table entry in the flat scratch
 
     def _unflat(rows_):
         return [K.kfe_from_rows(f, list(rows_[c * n:(c + 1) * n]))

@@ -303,9 +303,11 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
                                       (1, 3, n, L)), axis=0)[0]  # [3, n, L]
         # 4) stitch runs crossing lane boundaries + apply the carry
         if kernels == "full":
-            # experimental: fused fix-up kernel (not yet TPU-verified — the
-            # chipless AOT compile of the full-kernel program did not finish
-            # before the round's tunnel outage; see PERF.md)
+            # fused fix-up kernel: TPU-verified bit-equal to the default path
+            # and the host oracle (tools/verify_full_msm.py); 2^20 = 1.18s
+            # (8.9e5 points/s, 1.7x the segscan-only path). Opt-in rather than
+            # default because the first compile through the remote compiler is
+            # ~16 min (PERF.md) — use for long-lived aggregation services.
             from ..ops import pallas_kernels as PK
             fixed = PK.fixup_call(curve, L)(t_l, last_key, first_key,
                                             lead_vals)
