@@ -350,6 +350,14 @@ def _supported(curve: CurveSpec):
     return curve.field.kind in ("solinas", "mont") and curve.strategy in _KADD
 
 
+def ladder_fits(curve: CurveSpec, T: int) -> bool:
+    """Whether ladder_call's in-kernel tables fit the VMEM budget at the
+    minimum legal lane block (S=8): (T*16+4)*3n tiles of [8,128] uint32
+    within ~10MB. False for wide-limb multi-term ladders (p384/p521 T>=2),
+    which stay on the XLA lincomb path."""
+    return (T * 16 + 4) * 3 * curve.field.n_limbs * 8 * 512 <= 10 << 20
+
+
 @functools.lru_cache(maxsize=None)
 def _padd_call(curve: CurveSpec, batch: int, block: int):
     n = curve.field.n_limbs
@@ -702,16 +710,18 @@ def ladder_call(curve: CurveSpec, T: int, nw: int, B: int, block: int = 1024,
     jitted (bases uint32[T, 3, n, B], digs uint32[nw, T, B]) -> [3, n, B]
     with digs MSB-window first (scalarmul.window_digits layout).
     """
-    assert _supported(curve)
+    assert _supported(curve) and ladder_fits(curve, T)
     f = curve.field
     n = f.n_limbs
     assert B % 128 == 0
     block = min(block, B)
     stride = 3 * n          # tiles per table entry in the flat scratch
     # VMEM budget: the in-kernel table dominates ((T*16+4)*stride tiles of
-    # [S,128] uint32); keep it within ~10MB of the ~16MB/core so wide-limb
-    # curves (p384: n=31) and multi-term ladders fit.
-    while block > 128 and (T * 16 + 4) * stride * (block // 128) * 512 > 10 << 20:
+    # [S,128] uint32). Mosaic requires sublane blocks divisible by 8, so the
+    # lane block can only shrink to S=8 (1024 lanes); wide-limb multi-term
+    # ladders that still exceed the budget then (p384 T=2) are rejected by
+    # ladder_fits and stay on the XLA path.
+    while block > 1024 and (T * 16 + 4) * stride * (block // 128) * 512 > 10 << 20:
         block //= 2
     S = block // 128
     rows = B // 128

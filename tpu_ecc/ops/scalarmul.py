@@ -82,11 +82,11 @@ def _ct_lookup(tbl: jax.Array, digit: jax.Array) -> jax.Array:
     return jnp.sum(jnp.where(sel, tbl, np.uint32(0)), axis=0, dtype=U32)
 
 
-def _ladder_kernel_ok(curve: CurveSpec, batch_shape) -> bool:
+def _ladder_kernel_ok(curve: CurveSpec, batch_shape, terms: int = 1) -> bool:
     """Use the fused Mosaic ladder kernel (pallas_kernels.ladder_call) when
-    the backend, curve backend and batch layout admit it; the XLA scan path
-    below remains the portable/compile-cheap fallback (and the CPU test
-    oracle the kernels are asserted bit-equal against)."""
+    the backend, curve backend, batch layout and VMEM table budget admit it;
+    the XLA scan path below remains the portable/compile-cheap fallback (and
+    the CPU test oracle the kernels are asserted bit-equal against)."""
     import os
 
     if os.environ.get("TPU_ECC_KERNELS", "1") == "0":
@@ -95,8 +95,8 @@ def _ladder_kernel_ok(curve: CurveSpec, batch_shape) -> bool:
         return False
     from . import pallas_kernels as PK
 
-    return (PK._supported(curve) and len(batch_shape) == 1
-            and batch_shape[0] % 128 == 0)
+    return (PK._supported(curve) and PK.ladder_fits(curve, terms)
+            and len(batch_shape) == 1 and batch_shape[0] % 128 == 0)
 
 
 def _point_table(Q: Point, size: int = 16) -> jax.Array:
@@ -215,7 +215,7 @@ def lincomb(terms, scalar_bits=None) -> Point:
     (cf. lincomb in k256/src/arithmetic/mul.rs:342-393). scalar_bits bounds
     the window count for short scalars (GLV half-scalars)."""
     c = terms[0][0].curve
-    if _ladder_kernel_ok(c, terms[0][0].batch_shape):
+    if _ladder_kernel_ok(c, terms[0][0].batch_shape, len(terms)):
         from . import pallas_kernels as PK
 
         digss = jnp.stack([window_digits(c, k, scalar_bits)
