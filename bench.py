@@ -184,7 +184,7 @@ def bench_scalarmul(curve, B=1024, iters=4):
     pp = P.from_affine_ints(curve, [p[0] for p in base] * (B // 8),
                             [p[1] for p in base] * (B // 8))
     p_l = P.point_limbs(pp)
-    ks = [int(rng.integers(1, 2**63)) * int(rng.integers(1, 2**63))
+    ks = [int.from_bytes(rng.bytes(curve.scalar_bytes), "big") % curve.n
           for _ in range(B)]
     k_l = SM.pack_scalars(curve, ks)
 
@@ -313,11 +313,11 @@ def main():
             bench_scalarmul(get_curve(name))
         for name in ("secp256k1", "p256", "p384"):
             bench_ecdsa(name)
+        # fused kernels (segscan + grid-stepped fixup/bucket/horner) are the
+        # TPU default since round 3; --msm-xla adds the graph-path row
         bench_msm(k256, log_n=20)
-        if "--msm-full" in sys.argv:
-            # fused fix-up + bucket kernels (kernels="full"): ~16min first
-            # compile through the axon remote compiler, so opt-in
-            bench_msm(k256, log_n=20, kernels="full", tag="_full")
+        if "--msm-xla" in sys.argv:
+            bench_msm(k256, log_n=20, kernels=False, tag="_xla")
         import jax
         payload = {
             "hardware": str(jax.devices()[0]),

@@ -1,8 +1,13 @@
-"""Test config: CPU backend with 8 virtual devices (multi-chip sharding tests)."""
+"""Test config: CPU backend with 8 virtual devices (multi-chip sharding tests).
+
+TPU_ECC_TPU_TESTS=1 keeps the real TPU attached instead — the `-m tpu`
+kernel gate (tests/test_tpu_kernels.py, run via tools/ci.sh --tpu)."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the global env pins axon
+_TPU_MODE = os.environ.get("TPU_ECC_TPU_TESTS") == "1"
+if not _TPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # force: the global env pins axon
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -14,9 +19,9 @@ if "host_platform_device_count" not in _flags:
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".cache", "jax"))
+                 ".cache", "jax-tpu" if _TPU_MODE else "jax"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-if os.environ.get("TPU_ECC_CACHE_WRITES") == "1":
+if _TPU_MODE or os.environ.get("TPU_ECC_CACHE_WRITES") == "1":
     # opt-in cache-population pass: a segfaulted file only loses its own
     # chunk under tools/run_tests.sh, and the next run reads the entries
     os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.0"

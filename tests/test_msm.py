@@ -68,6 +68,25 @@ def test_msm_sharded_mesh(rng):
     assert got == _host_msm(c, pts, ks)
 
 
+def test_msm_sharded_hierarchical_2axis(rng):
+    """Hierarchical DCN x ICI reduction (SURVEY §2.8): points sharded over a
+    2x4 (dcn, ici) mesh; partials fold on the ici axis first, then one point
+    per slice crosses dcn. Replicated result == oracle, both methods."""
+    c = get_curve("secp256k1")
+    mesh = collectives.make_mesh(shape=(2, 4), axes=("dcn", "ici"))
+    G = H.aff_generator(c)
+    N = 2 * 128 * 8
+    base = [H.aff_mul(c, rng.randrange(1, c.n), G) for _ in range(8)]
+    pts = [base[i % 8] for i in range(N)]
+    ks = [rng.randrange(0, 1 << 16) for _ in range(N)]
+    got = M.msm(c, pts, ks, mesh=mesh, axis=("dcn", "ici"), terms=2,
+                scalar_bits=16)
+    assert got == _host_msm(c, pts, ks)
+    got = M.msm(c, pts, ks, mesh=mesh, axis=("dcn", "ici"),
+                method="pippenger", w=8, lanes=32, scalar_bits=16)
+    assert got == _host_msm(c, pts, ks)
+
+
 @pytest.mark.slow
 def test_msm_sharded_pippenger(rng):
     """The production large-N path: per-device Pippenger partials + mesh fold

@@ -114,26 +114,31 @@ def test_kernel_mixed_formulas(name, rng):
 
 
 @pytest.mark.slow
-def test_genmul_kernel_interpret(rng):
+@pytest.mark.parametrize("name", ["secp256k1", "p256", "bp256r1"])
+def test_genmul_kernel_interpret(name, rng):
     """Compiled-path genmul_call in interpret mode, truncated to 4 windows
     (16-bit scalars) so interpret stays tractable, vs the host oracle —
     exercises the SMEM table select, identity masking and VMEM accumulator
-    carry (the full-width kernel is asserted bit-equal to the XLA
-    mul_by_generator on real TPU by tools/bench_genmul.py)."""
+    carry across all three kernel paths: solinas a=0 (secp256k1), Montgomery
+    CIOS a=-3 (p256) and generic-a (bp256r1). (The full-width kernel is
+    asserted bit-equal to the XLA mul_by_generator on real TPU by
+    tools/bench_genmul.py.)"""
     import numpy as np
     from tpu_ecc.ops import scalarmul as SM
 
-    c = get_curve("secp256k1")
+    c = get_curve(name)
     B, bits = 128, 16
-    nw = bits // 4
     ks = [rng.randrange(0, 1 << bits) for _ in range(B)]
     ks[0] = 0
     ks[1] = 16
+    ks[2] = 9           # recodes to signed [-7, 1]: exercises the negation
     k_l = SM.pack_scalars(c, ks)
-    digs = SM.window_digits(c, k_l, bits)[::-1]
+    mag, neg = SM.signed_digits(c, k_l, bits)
+    mag, neg = mag[::-1], neg[::-1].astype(jnp.uint32)
+    nw = mag.shape[0]
     xs_np, ys_np = SM._gen_tables_np(c)
     tbl = jnp.asarray(np.stack([xs_np[:nw], ys_np[:nw]], axis=2))
-    out = PK.genmul_call(c, nw, B, interpret=True)(tbl, digs)
+    out = PK.genmul_call(c, nw, B, interpret=True)(tbl, mag, neg)
     import jax
     x, y, inf = jax.jit(P.to_affine)(P.point_from_limbs(c, out))
     xi, yi = F.fe_to_ints(x), F.fe_to_ints(y)
@@ -141,6 +146,50 @@ def test_genmul_kernel_interpret(rng):
     G = H.aff_generator(c)
     for b in range(B):
         exp = H.aff_mul(c, ks[b], G)
+        if exp is None:
+            assert inf[b]
+        else:
+            assert (xi[b], yi[b]) == exp
+
+
+@pytest.mark.slow
+def test_glv_ladder_kernel_interpret(rng):
+    """Compiled-path ladder_call(glv=True) in interpret mode, truncated to
+    short scalars, vs the host oracle: exercises the shared-table
+    endomorphism select (psi post-multiply), the folded digit+half sign
+    masks and the VMEM accumulator carry.
+    Checks (-1)^n1 d1 Q + (-1)^n2 d2 psi(Q)."""
+    import jax
+    import numpy as np
+    from tpu_ecc.ops import scalarmul as SM
+
+    c = get_curve("secp256k1")
+    B, bits = 128, 16
+    G = H.aff_generator(c)
+    pts = [H.aff_mul(c, rng.randrange(2, c.n), G) for _ in range(B)]
+    Q = P.from_affine_ints(c, [p_[0] for p_ in pts], [p_[1] for p_ in pts])
+    d1 = [rng.randrange(0, 1 << bits) for _ in range(B)]
+    d2 = [rng.randrange(0, 1 << bits) for _ in range(B)]
+    d1[0] = 0
+    n1 = [rng.randrange(2) for _ in range(B)]
+    n2 = [rng.randrange(2) for _ in range(B)]
+    sd = [SM.signed_digits(c, SM.pack_scalars(c, d), bits) for d in (d1, d2)]
+    nw = sd[0][0].shape[0]
+    mags = jnp.stack([m for m, _ in sd], axis=1)            # [nw, 2, B]
+    hneg = [jnp.asarray(np.asarray(nn, bool)) for nn in (n1, n2)]
+    negs = jnp.stack([g != h for (_, g), h in zip(sd, hneg)],
+                     axis=1).astype(jnp.uint32)
+    bases = P.point_limbs(P.steady(Q))[None]                # [1, 3, n, B]
+    out = PK.ladder_call(c, 1, nw, B, glv=True,
+                         interpret=True)(bases, mags, negs)
+    x, y, inf = jax.jit(P.to_affine)(P.point_from_limbs(c, out))
+    xi, yi = F.fe_to_ints(x), F.fe_to_ints(y)
+    inf = list(map(bool, inf))
+    lam = c.glv["lam"]
+    for b in range(B):
+        k = ((-d1[b] if n1[b] else d1[b])
+             + (-d2[b] if n2[b] else d2[b]) * lam) % c.n
+        exp = H.aff_mul(c, k, pts[b])
         if exp is None:
             assert inf[b]
         else:

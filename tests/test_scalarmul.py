@@ -108,3 +108,79 @@ def test_lincomb(name, rng):
     xs, ys = F.fe_to_ints(got[0]), F.fe_to_ints(got[1])
     for i, w in enumerate(want):
         assert xs[i] == w[0] and ys[i] == w[1]
+
+
+def test_glv_decompose_device(rng):
+    """Device GLV split: sign-folded identity k = ±d1 ± d2*lambda (mod n)
+    holds and both magnitudes stay under 2^GLV_BITS (the ladder's window
+    budget), incl. the 0 / 1 / n-1 edges."""
+    from tpu_ecc.utils.bigint import limbs_np_to_ints
+
+    c = get_curve("secp256k1")
+    ks = [0, 1, c.n - 1, c.glv["lam"], c.n - c.glv["lam"]]
+    ks += [rng.randrange(c.n) for _ in range(11)]
+    k_l = SM.pack_scalars(c, ks)
+    d1, n1, d2, n2 = jax.jit(
+        lambda k: SM.glv_decompose_device(c, k))(k_l)
+    d1i = limbs_np_to_ints(np.asarray(d1), c.scalar.limb_bits)
+    d2i = limbs_np_to_ints(np.asarray(d2), c.scalar.limb_bits)
+    n1, n2 = np.asarray(n1), np.asarray(n2)
+    for i, k in enumerate(ks):
+        k1 = -d1i[i] if n1[i] else d1i[i]
+        k2 = -d2i[i] if n2[i] else d2i[i]
+        assert (k1 + k2 * c.glv["lam"]) % c.n == k, hex(k)
+        assert max(d1i[i], d2i[i]) < (1 << SM.GLV_BITS), hex(k)
+        # agrees with the host lattice decomposition's magnitudes up to
+        # rounding: both satisfy the same identity with |ki| ~ sqrt(n)
+        assert max(d1i[i], d2i[i]).bit_length() <= 130
+
+
+def test_glv_endo():
+    """psi(x, y) = (beta*x, y) equals multiplication by lambda
+    (k256/src/arithmetic/projective.rs:287-294)."""
+    c = get_curve("secp256k1")
+    G = P.generator(c, (2,))
+    x, y, inf = jax.jit(lambda g: P.to_affine(SM.endo(g)))(G)
+    want = H.aff_mul(c, c.glv["lam"], H.aff_generator(c))
+    assert (F.fe_to_ints(x)[0], F.fe_to_ints(y)[0]) == want
+    assert not np.asarray(inf).any()
+
+
+def test_scalar_mul_glv(rng):
+    """Device GLV scalar-mul vs the host oracle (the reference's k256 mul
+    always routes here, k256/src/arithmetic/mul.rs:443-445)."""
+    c = get_curve("secp256k1")
+    G = H.aff_generator(c)
+    ks = [0, 1, c.n - 1] + [rng.randrange(c.n) for _ in range(5)]
+    B = len(ks)
+    pts = [H.aff_mul(c, rng.randrange(2, c.n), G) for _ in range(B)]
+    Q = P.from_affine_ints(c, [p[0] for p in pts], [p[1] for p in pts])
+    got = jax.jit(
+        lambda q, k: P.to_affine(SM.scalar_mul_glv(q, k))
+    )(Q, SM.pack_scalars(c, ks))
+    xs, ys, inf = F.fe_to_ints(got[0]), F.fe_to_ints(got[1]), np.asarray(got[2])
+    for i, k in enumerate(ks):
+        want = H.aff_mul(c, k, pts[i])
+        got_i = None if inf[i] else (xs[i], ys[i])
+        assert got_i == want, hex(k)
+
+
+def test_lincomb_glv_verify_shape(rng):
+    """u1*G + u2*Q through the GLV split — the k256 ECDSA-verify hot path
+    (protocols/ecdsa._verify_core routes here via lincomb_auto)."""
+    c = get_curve("secp256k1")
+    G = H.aff_generator(c)
+    B = 4
+    qs = [rng.randrange(2, c.n) for _ in range(B)]
+    pts = [H.aff_mul(c, q, G) for q in qs]
+    u1 = [rng.randrange(c.n) for _ in range(B)]
+    u2 = [rng.randrange(c.n) for _ in range(B)]
+    g = P.generator(c, (B,))
+    q = P.from_affine_ints(c, [p[0] for p in pts], [p[1] for p in pts])
+    got = jax.jit(
+        lambda g, q, a, b: P.to_affine(SM.lincomb_glv([(g, a), (q, b)]))
+    )(g, q, SM.pack_scalars(c, u1), SM.pack_scalars(c, u2))
+    xs, ys = F.fe_to_ints(got[0]), F.fe_to_ints(got[1])
+    for i in range(B):
+        want = H.aff_add(c, H.aff_mul(c, u1[i], G), H.aff_mul(c, u2[i], pts[i]))
+        assert (xs[i], ys[i]) == want

@@ -1,0 +1,173 @@
+"""Real-TPU gate for the production Mosaic kernels (`-m tpu`).
+
+Run via `tools/ci.sh --tpu` (sets TPU_ECC_TPU_TESTS=1 so conftest keeps the
+real chip attached). Asserts the compiled kernel paths against the XLA graph
+paths — bit-equality where the computation orders are mirrored (plain signed
+ladders, genmul, MSM phases, padd chains), affine equality for the GLV
+shared-table kernel (different op order by design) — across one curve per
+(field backend x RCB strategy) pairing. This is the automated replacement
+for the round-2 hand-run tools (VERDICT r2 "what's missing" item 5).
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tpu_ecc.curves.specs import get_curve
+from tpu_ecc.ops import fe as F
+from tpu_ecc.ops import points as P
+from tpu_ecc.ops import scalarmul as SM
+from tpu_ecc.utils import ec_host as H
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(os.environ.get("TPU_ECC_TPU_TESTS") != "1",
+                       reason="real-TPU kernel gate (tools/ci.sh --tpu)"),
+]
+
+B = 128
+# one curve per (backend x strategy): solinas/a0, mont/a-3, generic-a,
+# solinas/a-3
+CURVES = ["secp256k1", "p256", "bp256r1", "p192"]
+
+
+def _points(c, rng, n=B):
+    G = H.aff_generator(c)
+    base = [H.aff_mul(c, rng.randrange(1, c.n), G) for _ in range(8)]
+    pts = [base[i % 8] for i in range(n)]
+    return P.from_affine_ints(c, [p[0] for p in pts], [p[1] for p in pts])
+
+
+def _scalars(c, rng, n=B):
+    return SM.pack_scalars(c, [rng.randrange(c.n) for _ in range(n)])
+
+
+def _affine(c, limbs):
+    x, y, inf = jax.jit(P.to_affine)(
+        P.point_from_limbs(c, jnp.asarray(np.asarray(limbs))))
+    return (F.fe_to_ints(x), F.fe_to_ints(y), np.asarray(inf).tolist())
+
+
+def _ab(fn, *args, env=None):
+    """Run fn twice — kernels on and off — returning both limb outputs."""
+    outs = {}
+    for kern in ("1", "0"):
+        os.environ["TPU_ECC_KERNELS"] = kern
+        for k, v in (env or {}).items():
+            os.environ[k] = v
+        outs[kern] = np.asarray(jax.jit(fn)(*args))
+    os.environ["TPU_ECC_KERNELS"] = "1"
+    return outs["1"], outs["0"]
+
+
+@pytest.mark.parametrize("name", CURVES)
+def test_padd_kernel_bitequal(name, rng):
+    from tpu_ecc.ops import pallas_kernels as PK
+
+    c = get_curve(name)
+    a = _points(c, rng)
+    b = _points(c, rng)
+    want = np.asarray(jax.jit(
+        lambda u, v: P.point_limbs(P.steady(P.padd(u, v))))(a, b))
+    got = np.asarray(P.point_limbs(PK.padd_pallas(a, b, block=B)))
+    assert np.array_equal(want, got)
+
+
+@pytest.mark.parametrize("name", CURVES)
+def test_ladder_kernel_bitequal(name, rng):
+    """scalar_mul + 2-term lincomb: signed-digit kernel == XLA scan, bitwise
+    (GLV disabled so both run the plain mirrored ladder)."""
+    c = get_curve(name)
+    q = _points(c, rng)
+    k1 = _scalars(c, rng)
+    k2 = _scalars(c, rng)
+
+    def smul(pl, kl):
+        return P.point_limbs(P.steady(
+            SM.scalar_mul(P.point_from_limbs(c, pl), kl)))
+
+    def lin(pl, a, b):
+        Q = P.point_from_limbs(c, pl)
+        Gb = P.generator(c, Q.batch_shape)
+        return P.point_limbs(P.steady(SM.lincomb([(Gb, a), (Q, b)])))
+
+    p_l = P.point_limbs(q)
+    env = {"TPU_ECC_GLV": "0"}
+    got, want = _ab(smul, p_l, k1, env=env)
+    assert np.array_equal(got, want), "scalar_mul kernel != xla"
+    got, want = _ab(lin, p_l, k1, k2, env=env)
+    assert np.array_equal(got, want), "lincomb kernel != xla"
+    os.environ["TPU_ECC_GLV"] = "1"
+
+
+def test_glv_kernel_affine_equal(rng):
+    """k256 GLV shared-table kernel vs the XLA GLV fallback vs the plain
+    ladder — affine equality (representatives differ by design)."""
+    c = get_curve("secp256k1")
+    q = _points(c, rng)
+    k1 = _scalars(c, rng)
+    k2 = _scalars(c, rng)
+    p_l = P.point_limbs(q)
+
+    def lin(pl, a, b):
+        Q = P.point_from_limbs(c, pl)
+        Gb = P.generator(c, Q.batch_shape)
+        return P.point_limbs(P.steady(SM.lincomb_glv([(Gb, a), (Q, b)])))
+
+    got, want = _ab(lin, p_l, k1, k2)
+    os.environ["TPU_ECC_GLV"] = "0"
+    plain = np.asarray(jax.jit(
+        lambda pl, a, b: P.point_limbs(P.steady(SM.lincomb(
+            [(P.generator(c, (B,)), a),
+             (P.point_from_limbs(c, pl), b)]))))(p_l, k1, k2))
+    os.environ["TPU_ECC_GLV"] = "1"
+    assert _affine(c, got) == _affine(c, want) == _affine(c, plain)
+
+
+@pytest.mark.parametrize("name", ["secp256k1", "p256", "bp256r1"])
+def test_genmul_kernel_bitequal(name, rng):
+    c = get_curve(name)
+    k1 = _scalars(c, rng)
+
+    def mbg(kl):
+        return P.point_limbs(P.steady(SM.mul_by_generator(c, kl)))
+
+    got, want = _ab(mbg, k1)
+    assert np.array_equal(got, want), "mul_by_generator kernel != xla"
+
+
+def test_msm_kernels_bitequal(rng):
+    """The fused Pippenger phase kernels (segscan + grid-stepped fixup /
+    bucket-reduce / horner) vs the XLA graphs, bitwise, plus host oracle."""
+    from tpu_ecc.parallel import msm as M
+
+    c = get_curve("secp256k1")
+    f = c.field
+    N, lanes, w, bits = 512, 128, 8, 16
+    G = H.aff_generator(c)
+    base = [H.aff_mul(c, rng.randrange(1, c.n), G) for _ in range(8)]
+    pts = [base[i % 8] for i in range(N)]
+    ks = [rng.randrange(0, 1 << bits) for _ in range(N)]
+    xs_l = F.fe_from_ints(f, [p[0] for p in pts]).limbs
+    ys_l = F.fe_from_ints(f, [p[1] for p in pts]).limbs
+    inf = jnp.zeros((N,), bool)
+    k_l = SM.pack_scalars(c, ks)
+
+    def run(kern):
+        return np.asarray(jax.jit(
+            lambda a, b, i, d: P.point_limbs(M.msm_pippenger(
+                c, F.fe_steady(f, a), F.fe_steady(f, b), i, d,
+                w=w, lanes=lanes, scalar_bits=bits, kernels=kern))
+        )(xs_l, ys_l, inf, k_l))
+
+    got = run("full")
+    want = run(False)
+    assert np.array_equal(got, want), "fused MSM != XLA MSM"
+    xs, ys, infs = _affine(c, got)
+    acc = None
+    for p_, k_ in zip(pts, ks):
+        acc = H.aff_add(c, acc, H.aff_mul(c, k_, p_))
+    assert not infs[0] and (xs[0], ys[0]) == acc

@@ -4,7 +4,9 @@
 against the XLA mixed-add scan path, then measures both, plus the full
 ECDSA sign/verify device cores with kernels on.
 
-    python tools/bench_genmul.py [batch]
+    python tools/bench_genmul.py [batch] [curves...]
+
+A non-numeric first argument is treated as a curve name (batch stays 4096).
 """
 
 import os
@@ -27,7 +29,10 @@ def main():
     from tpu_ecc.ops import points as P
     from tpu_ecc.ops import scalarmul as SM
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    args = sys.argv[1:]
+    B = 4096
+    if args and args[0].isdigit():
+        B = int(args.pop(0))
     print("device:", jax.devices()[0], " B =", B)
 
     def fetch(a):
@@ -47,7 +52,7 @@ def main():
         print(f"  {name}: {best*1e3:.2f} ms  {B/best:.3e} /s")
         return out
 
-    names = sys.argv[2:] or ("secp256k1", "p192")
+    names = args or ("secp256k1", "p192")
     for name in names:
         curve = get_curve(name)
         rng = np.random.default_rng(13)

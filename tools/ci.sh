@@ -8,6 +8,14 @@ set -u
 cd "$(dirname "$0")/.."
 fail=0
 
+if [ "${1:-}" = "--tpu" ]; then
+    echo "== real-TPU kernel gate (tests/test_tpu_kernels.py) =="
+    env TPU_ECC_TPU_TESTS=1 timeout 7200 python -u -m pytest \
+        tests/test_tpu_kernels.py -q -m tpu -p no:cacheprovider || fail=1
+    [ $fail -eq 0 ] && echo "TPU GATE GREEN" || echo "TPU GATE RED"
+    exit $fail
+fi
+
 echo "== default test matrix (chunked per file; see tools/run_tests.sh) =="
 bash tools/run_tests.sh || fail=1
 grep -E "rc=[0-9]+" /tmp/tpu_ecc_tests/summary.txt | grep -vE "rc=(0|5) ?" | grep -q . && fail=1

@@ -1,5 +1,6 @@
 #!/usr/bin/env python3
-"""TPU verification run for the experimental `kernels="full"` Pippenger path
+"""TPU verification run for the fused-kernel Pippenger path (now the TPU
+default: segscan + grid-stepped fixup/bucket/horner kernels)
 (fused fix-up + bucket-reduce kernels, ops/pallas_kernels.py).
 
 1. Correctness: msm_pippenger(kernels="full") vs the default path vs the host
@@ -86,9 +87,9 @@ def main():
     # --- correctness at N=2^14 ---
     N = 1 << 14
     base, xs_l, ys_l, inf, k_l, k_np = build_inputs(curve, N, rng)
-    got_def, _ = run(N, 2048, None, k_l, xs_l, ys_l, inf)
-    got_full, _ = run(N, 2048, "full", k_l, xs_l, ys_l, inf)
-    assert np.array_equal(got_def, got_full), "full-kernel path != default"
+    got_def, _ = run(N, 2048, False, k_l, xs_l, ys_l, inf)   # XLA graphs
+    got_full, _ = run(N, 2048, "full", k_l, xs_l, ys_l, inf)  # all kernels
+    assert np.array_equal(got_def, got_full), "full-kernel path != XLA"
     pt = P.point_from_limbs(curve, jnp.asarray(got_full))
     x, y, is_inf = jax.jit(P.to_affine)(pt)
     want = host_expect(curve, base, k_np)
@@ -99,7 +100,7 @@ def main():
     # --- timing at 2^20 ---
     N = 1 << 20
     base, xs_l, ys_l, inf, k_l, k_np = build_inputs(curve, N, rng)
-    for kernels in (None, "full"):
+    for kernels in (False, "full"):
         got, kern = run(N, 8192, kernels, k_l, xs_l, ys_l, inf)
         t = float("inf")
         kk = k_l

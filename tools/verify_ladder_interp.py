@@ -37,25 +37,15 @@ def main():
         k2s = [int(k) for k in rng.integers(0, 1 << bits, B)]
         k_l = SM.pack_scalars(curve, ks)
         k2_l = SM.pack_scalars(curve, k2s)
-        digs = SM.window_digits(curve, k_l, bits)            # [nw, B]
-        nw = digs.shape[0]
+        mag, neg = SM.signed_digits(curve, k_l, bits)        # [nw, B]
+        nw = mag.shape[0]
 
-        # XLA reference scan (same ladder as scalarmul.scalar_mul's fallback)
-        tbl = SM._point_table(pp)
-
-        def step(acc, dig):
-            a = P.point_from_limbs(curve, acc)
-            for _ in range(4):
-                a = P.pdouble(a)
-            a = P.padd(a, P.point_from_limbs(curve, SM._ct_lookup(tbl, dig)))
-            return P.point_limbs(P.steady(a)), None
-
-        ident = P.identity(curve, (B,))
-        ref1, _ = jax.lax.scan(step, P.point_limbs(P.steady(ident)), digs)
+        # XLA reference: scalar_mul's fallback signed-window scan
+        ref1 = P.point_limbs(P.steady(SM.scalar_mul(pp, k_l, bits)))
 
         bases = P.point_limbs(P.steady(pp))[None]
         out1 = PK.ladder_call(curve, 1, nw, B, interpret=True)(
-            bases, digs[:, None])
+            bases, mag[:, None], neg[:, None].astype(jnp.uint32))
         def affine_ints(limbs):
             from tpu_ecc.ops import fe as F
             x, y, inf = jax.jit(P.to_affine)(P.point_from_limbs(curve, limbs))
@@ -68,10 +58,12 @@ def main():
         Gb = P.generator(curve, (B,))
         ref2 = P.point_limbs(P.steady(
             SM.lincomb([(Gb, k_l), (pp, k2_l)], scalar_bits=bits)))
-        digss = jnp.stack([SM.window_digits(curve, k, bits)
-                           for k in (k_l, k2_l)], axis=1)    # [nw, 2, B]
+        sd = [SM.signed_digits(curve, k, bits) for k in (k_l, k2_l)]
+        mags = jnp.stack([m for m, _ in sd], axis=1)         # [nw, 2, B]
+        negs = jnp.stack([g for _, g in sd], axis=1).astype(jnp.uint32)
         bases2 = jnp.stack([P.point_limbs(P.steady(Q)) for Q in (Gb, pp)])
-        out2 = PK.ladder_call(curve, 2, nw, B, interpret=True)(bases2, digss)
+        out2 = PK.ladder_call(curve, 2, nw, B, interpret=True)(
+            bases2, mags, negs)
         assert affine_ints(ref2) == affine_ints(out2), f"{name} T=2 mismatch"
         print(f"{name}: T=2 ladder kernel == XLA lincomb")
 

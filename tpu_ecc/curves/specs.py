@@ -31,6 +31,10 @@ class CurveSpec:
     strategy: str = "generic"
     # GLV endomorphism (k256): beta (field), lambda (scalar), decomposition consts
     glv: Optional[dict] = None
+    # VOPRF ciphersuite (RFC 9497): (suite id, hash name) — the reference's
+    # VoprfParameters impls (p256/src/lib.rs:176-183, p384/src/lib.rs:129-135,
+    # p521/src/lib.rs:113-119)
+    voprf: Optional[tuple] = None
 
     def __hash__(self):
         return id(self)
@@ -63,13 +67,14 @@ def _strategy(a: int, p: int) -> str:
     return "generic"
 
 
-def _curve(name, p, n, a, b, gx, gy, oid="", field_kind=None, glv=None) -> CurveSpec:
+def _curve(name, p, n, a, b, gx, gy, oid="", field_kind=None, glv=None,
+           voprf=None) -> CurveSpec:
     field = make_field_spec(f"{name}.fp", p, kind=field_kind)
     scalar = make_field_spec(f"{name}.fn", n, kind="mont")
     a %= p
     return CurveSpec(
         name=name, field=field, scalar=scalar, a=a, b=b % p, gx=gx, gy=gy,
-        oid=oid, strategy=_strategy(a, p), glv=glv,
+        oid=oid, strategy=_strategy(a, p), glv=glv, voprf=voprf,
     )
 
 
@@ -148,6 +153,7 @@ def _p256() -> CurveSpec:
         0x6B17D1F2E12C4247F8BCE6E563A440F277037D812DEB33A0F4A13945D898C296,
         0x4FE342E2FE1A7F9B8EE7EB4A7C0F9E162BCE33576B315ECECBB6406837BF51F5,
         oid="1.2.840.10045.3.1.7", field_kind="mont",
+        voprf=("P256-SHA256", "sha256"),
     )
 
 

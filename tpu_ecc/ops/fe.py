@@ -289,7 +289,24 @@ def _slice_add(arr: jax.Array, start: int, upd: jax.Array) -> jax.Array:
 UNROLL_SCANS = False
 """When True, carry/borrow chains unroll instead of using lax.scan — required
 inside Pallas kernel bodies (Mosaic has no scan) and cheap there since the
-kernel graph is per-block."""
+kernel graph is per-block. Also worth enabling (via `unrolled()`) for small
+non-loop device programs like the GLV decomposition, where a lax.scan's
+per-iteration overhead (~tens of us of unfused while-loop stepping) dwarfs
+the work and XLA fuses the unrolled chain into a few kernels."""
+
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def unrolled():
+    """Trace-time switch: carry/borrow chains unroll inside this context."""
+    global UNROLL_SCANS
+    old = UNROLL_SCANS
+    UNROLL_SCANS = True
+    try:
+        yield
+    finally:
+        UNROLL_SCANS = old
 
 
 def _carry_scan(cols: jax.Array, bound: int, b: int, mask: int):
@@ -569,6 +586,16 @@ def _cond_sub(spec: FieldSpec, cols: jax.Array, m_limbs) -> jax.Array:
     radix_minus_m = _const_arr([(1 << b) - ml for ml in m_limbs], cols.ndim)
     radix_minus_m = jnp.broadcast_to(radix_minus_m, cols.shape)
 
+    if UNROLL_SCANS or PALLAS_MODE:
+        borrow = jnp.zeros_like(cols[0])
+        outs = []
+        for j in range(cols.shape[0]):
+            t = cols[j] + radix_minus_m[j] - borrow
+            outs.append(t & ms)
+            borrow = one - (t >> bs)
+        ge = borrow == 0
+        return jnp.where(ge, jnp.stack(outs, axis=0), cols), ge
+
     def step(borrow, xs):
         r, rm = xs
         t = r + rm - borrow
@@ -676,6 +703,25 @@ def relimb(limbs: jax.Array, src_b: int, dst_b: int, dst_n: int) -> jax.Array:
             acc = jnp.zeros(limbs.shape[1:], U32)
         out.append(acc & masks)
     return jnp.stack(out, axis=0)
+
+
+def fmul_shift(spec: FieldSpec, u_limbs: jax.Array, g: int,
+               shift_limbs: int, out_limbs: int) -> jax.Array:
+    """floor(u * g / 2^(b*shift_limbs)) for canonical limbs u (bound <= mask)
+    and a host constant g -> limbs uint32[out_limbs, *batch].
+
+    The device analogue of the reference's Scalar::mul_shift_vartime
+    (k256/src/arithmetic/scalar.rs:700-744) used by the GLV rounding step —
+    here fully branchless (and hence constant-time by construction)."""
+    b, mask = spec.limb_bits, spec.mask
+    ng = -(-max(g.bit_length(), 1) // b)
+    g_arr = _const_arr(int_to_limbs(g, ng, b), u_limbs.ndim)
+    col_bound = min(spec.n_limbs, ng) * mask * mask
+    assert col_bound < (1 << 32), "fmul_shift columns overflow uint32"
+    cols = _conv_arr(u_limbs, g_arr, u_limbs.shape[1:])
+    carried, _ = _carry_scan(cols, col_bound, b, mask)
+    carried = _grow(carried, shift_limbs + out_limbs)
+    return carried[shift_limbs:shift_limbs + out_limbs]
 
 
 def field_to_scalar_raw(field: FieldSpec, scalar: FieldSpec, x: FE):

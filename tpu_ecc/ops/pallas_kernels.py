@@ -350,12 +350,29 @@ def _supported(curve: CurveSpec):
     return curve.field.kind in ("solinas", "mont") and curve.strategy in _KADD
 
 
-def ladder_fits(curve: CurveSpec, T: int) -> bool:
+TBL = 9   # signed-digit table size: [O, Q, .., 8Q] (digits recoded to
+# [-8, 8], the reference's Radix16Decomposition — k256/src/arithmetic/
+# mul.rs:274-305). Halves the ct-select traffic and table build vs 16.
+
+
+def _ladder_block(curve: CurveSpec, T: int, B: int, block: int) -> int:
+    """Largest lane-block sublane count S (<= block/128, dividing B/128)
+    whose in-kernel tables fit the ~10MB VMEM budget; 0 if none does.
+    (T*TBL+4)*3n tiles of [S,128] uint32 per block.)"""
+    rows = B // 128
+    S = min(max(block // 128, 1), rows)
+    while S >= 1 and (rows % S or
+                      (T * TBL + 4) * 3 * curve.field.n_limbs * S * 512 > 10 << 20):
+        S -= 1
+    return S
+
+
+def ladder_fits(curve: CurveSpec, T: int, B: int = 1024) -> bool:
     """Whether ladder_call's in-kernel tables fit the VMEM budget at the
-    minimum legal lane block (S=8): (T*16+4)*3n tiles of [8,128] uint32
-    within ~10MB. False for wide-limb multi-term ladders (p384/p521 T>=2),
-    which stay on the XLA lincomb path."""
-    return (T * 16 + 4) * 3 * curve.field.n_limbs * 8 * 512 <= 10 << 20
+    actual lane block for batch B (block capped at 1024 lanes = S=8, the
+    default). False for wide-limb many-term ladders at full block
+    (p521 T>=3), which stay on the XLA lincomb path."""
+    return _ladder_block(curve, T, B, 1024) >= 1
 
 
 @functools.lru_cache(maxsize=None)
@@ -444,7 +461,7 @@ def padd_chain_call(curve: CurveSpec, batch: int, block: int, repeat: int):
 
 @functools.lru_cache(maxsize=None)
 def segscan_call(curve: CurveSpec, C: int, L: int, nbuck: int,
-                 Cb: int = 8, Lb: int = 1024):
+                 Cb: int = 8, Lb: int = 1024, interpret: bool = False):
     """Fused segmented-scan kernel for the Pippenger bucket accumulation
     (parallel/msm.py): each of L lanes serially accumulates its chunk of C
     digit-sorted points, resetting on key change. The entire C-long serial
@@ -536,30 +553,12 @@ def segscan_call(curve: CurveSpec, C: int, L: int, nbuck: int,
             out_specs=(ov, lkv, tv),
             scratch_shapes=[pltpu.VMEM((S, 128), jnp.uint32),
                             pltpu.VMEM((3, n, S, 128), jnp.uint32)],
+            interpret=interpret,
         )(k4, v5)
         return (scanned.reshape(C, 3, n, L), lk.reshape(L),
                 tail.reshape(3, n, L))
 
     return run
-
-
-def _shift_flat(x, s: int, forward: bool):
-    """Circular shift of a [S, 128] tile over its FLATTENED S*128 index:
-    forward=True -> y[j] = x[j+s]; False -> y[j] = x[j-s]. s static.
-    Powers-of-two shifts decompose into a sublane roll plus a lane roll with
-    a row-boundary select — all Mosaic-friendly static ops."""
-    S = x.shape[0]
-    sgn = 1 if forward else -1
-    q, r = divmod(s, 128)
-    z = jnp.roll(x, -sgn * q, axis=0) if q else x
-    if r == 0:
-        return z
-    a = jnp.roll(z, -sgn * r, axis=1)
-    b = jnp.roll(a, -sgn, axis=0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
-    if forward:
-        return jnp.where(lane < 128 - r, a, b)
-    return jnp.where(lane >= r, a, b)
 
 
 def _ident_rows(f, shape):
@@ -570,12 +569,37 @@ def _ident_rows(f, shape):
              for i in range(f.n_limbs)] for c in range(3)]
 
 
+def _shift_flat_dyn(x, s, forward: bool):
+    """_shift_flat with a TRACED shift amount (pltpu.roll supports dynamic
+    shifts): forward=True -> y[j] = x[j+s] over the flattened S*128 index.
+    The r == 0 sub-case falls out of the lane select (b is never chosen)."""
+    S = x.shape[0]
+    q = s >> np.uint32(7)
+    r = s & np.uint32(127)
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (S, 128), 1)
+    if forward:
+        z = pltpu.roll(x, (np.uint32(S) - q) % np.uint32(S), axis=0)
+        a = pltpu.roll(z, (np.uint32(128) - r) % np.uint32(128), axis=1)
+        b = pltpu.roll(a, S - 1, axis=0)
+        return jnp.where(lane < np.uint32(128) - r, a, b)
+    z = pltpu.roll(x, q, axis=0)
+    a = pltpu.roll(z, r, axis=1)
+    b = pltpu.roll(a, 1, axis=0)
+    return jnp.where(lane >= r, a, b)
+
+
 @functools.lru_cache(maxsize=None)
-def fixup_call(curve: CurveSpec, L: int):
+def fixup_call(curve: CurveSpec, L: int, interpret: bool = False):
     """Fused Pippenger lane fix-up (parallel/msm.py step 4+5): segmented
     Hillis-Steele over the L per-lane tail sums (keyed on last_key, monotone)
-    followed by the carry select and the leading-run correction padd — 14
-    point-ops in one kernel instead of 14 separate XLA padds.
+    followed by the carry select and the leading-run correction padd.
+
+    GRID-STEPPED: the log2(L) scan steps are a sequential grid dimension
+    with the shift amount computed from program_id and applied via dynamic
+    pltpu.roll — the kernel body holds ONE point add (plus the final carry
+    add), so it compiles like a single padd kernel instead of the round-2
+    version's 14-add unroll (whose Mosaic remote compile took ~16 min at
+    L=8192; this is why the fused MSM path can now default on).
 
     jitted (t_l [3,n,L], last_key [L], first_key [L], lead_vals [3,n,L])
       -> fixed [3, n, L]
@@ -587,33 +611,50 @@ def fixup_call(curve: CurveSpec, L: int):
     S = L // 128
     nsteps = max(L.bit_length() - 1, 0)
 
-    def body(t_ref, lk_ref, fk_ref, lv_ref, o_ref):
+    def body(t_ref, lk_ref, fk_ref, lv_ref, o_ref, acc_ref):
+        k = pl.program_id(0)
+
+        @pl.when(k == 0)
+        def _init():
+            acc_ref[...] = t_ref[...]
+
         lk = lk_ref[...]
-        flat = (jax.lax.broadcasted_iota(jnp.int32, (S, 128), 0) * 128
-                + jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1))
-        vals = [[t_ref[c, i, :, :] for i in range(n)] for c in range(3)]
-        for k in range(nsteps):
-            s = 1 << k
-            rolled = [[_shift_flat(vals[c][i], s, False) for i in range(n)]
-                      for c in range(3)]
-            A = [K.kfe_from_rows(f, vals[c]) for c in range(3)]
-            B = [K.kfe_from_rows(f, rolled[c]) for c in range(3)]
-            cand = [K.ksteady(x) for x in _KADD[curve.strategy](curve, *A, *B)]
-            ok = (_shift_flat(lk, s, False) == lk) & (flat >= s)
-            vals = [[jnp.where(ok, cand[c].limbs[i], vals[c][i])
-                     for i in range(n)] for c in range(3)]
-        # carry = T_incl[l-1] if first_key[l] == last_key[l-1] else identity
-        carry_ok = (fk_ref[...] == _shift_flat(lk, 1, False)) & (flat >= 1)
-        ident = _ident_rows(f, (S, 128))
-        carry = [[jnp.where(carry_ok, _shift_flat(vals[c][i], 1, False),
-                            ident[c][i]) for i in range(n)] for c in range(3)]
-        LV = [K.kfe_from_rows(f, [lv_ref[c, i, :, :] for i in range(n)])
-              for c in range(3)]
-        CA = [K.kfe_from_rows(f, carry[c]) for c in range(3)]
-        out = [K.ksteady(x) for x in _KADD[curve.strategy](curve, *LV, *CA)]
+        flat = (jax.lax.broadcasted_iota(jnp.uint32, (S, 128), 0)
+                * np.uint32(128)
+                + jax.lax.broadcasted_iota(jnp.uint32, (S, 128), 1))
+        s = jnp.uint32(1) << k.astype(jnp.uint32)
+        vals = [[acc_ref[c, i, :, :] for i in range(n)] for c in range(3)]
+        rolled = [[_shift_flat_dyn(vals[c][i], s, False) for i in range(n)]
+                  for c in range(3)]
+        A = [K.kfe_from_rows(f, vals[c]) for c in range(3)]
+        B = [K.kfe_from_rows(f, rolled[c]) for c in range(3)]
+        cand = [K.ksteady(x) for x in _KADD[curve.strategy](curve, *A, *B)]
+        ok = (_shift_flat_dyn(lk, s, False) == lk) & (flat >= s)
         for c in range(3):
             for i in range(n):
-                o_ref[c, i, :, :] = out[c].limbs[i]
+                acc_ref[c, i, :, :] = jnp.where(ok, cand[c].limbs[i],
+                                                vals[c][i])
+
+        @pl.when(k == nsteps - 1)
+        def _fin():
+            # carry = T_incl[l-1] if first_key[l] == last_key[l-1] else O
+            one = np.uint32(1)
+            carry_ok = ((fk_ref[...] == _shift_flat_dyn(lk, one, False))
+                        & (flat >= one))
+            ident = _ident_rows(f, (S, 128))
+            carry = [[jnp.where(carry_ok,
+                                _shift_flat_dyn(acc_ref[c, i, :, :], one,
+                                                False),
+                                ident[c][i]) for i in range(n)]
+                     for c in range(3)]
+            LV = [K.kfe_from_rows(f, [lv_ref[c, i, :, :] for i in range(n)])
+                  for c in range(3)]
+            CA = [K.kfe_from_rows(f, carry[c]) for c in range(3)]
+            out = [K.ksteady(x)
+                   for x in _KADD[curve.strategy](curve, *LV, *CA)]
+            for c in range(3):
+                for i in range(n):
+                    o_ref[c, i, :, :] = out[c].limbs[i]
 
     pv = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -621,8 +662,11 @@ def fixup_call(curve: CurveSpec, L: int):
         out = pl.pallas_call(
             body,
             out_shape=jax.ShapeDtypeStruct((3, n, S, 128), jnp.uint32),
+            grid=(max(nsteps, 1),),
             in_specs=[pv, pv, pv, pv],
             out_specs=pv,
+            scratch_shapes=[pltpu.VMEM((3, n, S, 128), jnp.uint32)],
+            interpret=interpret,
         )(t_l.reshape(3, n, S, 128), last_key.reshape(S, 128),
           first_key.reshape(S, 128), lead_vals.reshape(3, n, S, 128))
         return out.reshape(3, n, L)
@@ -631,10 +675,12 @@ def fixup_call(curve: CurveSpec, L: int):
 
 
 @functools.lru_cache(maxsize=None)
-def bucket_reduce_call(curve: CurveSpec, nbuck: int):
+def bucket_reduce_call(curve: CurveSpec, nbuck: int, interpret: bool = False):
     """Fused Pippenger bucket reduction (parallel/msm.py step 8):
     sum_b b*S_b = sum_{b>=1} suffix_b via a guarded suffix Hillis-Steele then
-    a circular all-reduce, 2*log2(nbuck) point-ops in one kernel.
+    a circular all-reduce. GRID-STEPPED like fixup_call: 2*log2(nbuck)
+    sequential grid steps, ONE point add per body (see fixup_call's note on
+    compile cost).
 
     jitted (buckets [3, n, nbuck]) -> S [3, n] packed as [3, n, nbuck]
     (every flat lane holds the total; the caller takes lane 0).
@@ -646,38 +692,45 @@ def bucket_reduce_call(curve: CurveSpec, nbuck: int):
     S = nbuck // 128
     nsteps = nbuck.bit_length() - 1
 
-    def body(b_ref, o_ref):
-        flat = (jax.lax.broadcasted_iota(jnp.int32, (S, 128), 0) * 128
-                + jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1))
-        vals = [[b_ref[c, i, :, :] for i in range(n)] for c in range(3)]
-        ident = _ident_rows(f, (S, 128))
+    def body(b_ref, o_ref, acc_ref):
+        k = pl.program_id(0)
+        flat = (jax.lax.broadcasted_iota(jnp.uint32, (S, 128), 0)
+                * np.uint32(128)
+                + jax.lax.broadcasted_iota(jnp.uint32, (S, 128), 1))
 
-        def hs(vals, guarded):
-            for k in range(nsteps):
-                s = 1 << k
-                rolled = [[_shift_flat(vals[c][i], s, True) for i in range(n)]
-                          for c in range(3)]
-                A = [K.kfe_from_rows(f, vals[c]) for c in range(3)]
-                B = [K.kfe_from_rows(f, rolled[c]) for c in range(3)]
-                cand = [K.ksteady(x)
-                        for x in _KADD[curve.strategy](curve, *A, *B)]
-                if guarded:
-                    ok = (flat + s) < nbuck
-                    vals = [[jnp.where(ok, cand[c].limbs[i], vals[c][i])
-                             for i in range(n)] for c in range(3)]
-                else:
-                    vals = [[cand[c].limbs[i] for i in range(n)]
-                            for c in range(3)]
-            return vals
+        @pl.when(k == 0)
+        def _init():
+            acc_ref[...] = b_ref[...]
 
-        vals = hs(vals, True)                      # suffix sums
-        zero0 = flat == 0                          # drop bucket 0
-        vals = [[jnp.where(zero0, ident[c][i], vals[c][i]) for i in range(n)]
-                for c in range(3)]
-        vals = hs(vals, False)                     # circular all-reduce
+        @pl.when(k == nsteps)
+        def _drop0():
+            # between phases: drop bucket 0 before the circular all-reduce
+            ident = _ident_rows(f, (S, 128))
+            zero0 = flat == 0
+            for c in range(3):
+                for i in range(n):
+                    acc_ref[c, i, :, :] = jnp.where(
+                        zero0, ident[c][i], acc_ref[c, i, :, :])
+
+        suffix = k < nsteps
+        sk = jnp.where(suffix, k, k - nsteps).astype(jnp.uint32)
+        s = jnp.uint32(1) << sk
+        vals = [[acc_ref[c, i, :, :] for i in range(n)] for c in range(3)]
+        rolled = [[_shift_flat_dyn(vals[c][i], s, True) for i in range(n)]
+                  for c in range(3)]
+        A = [K.kfe_from_rows(f, vals[c]) for c in range(3)]
+        B = [K.kfe_from_rows(f, rolled[c]) for c in range(3)]
+        cand = [K.ksteady(x) for x in _KADD[curve.strategy](curve, *A, *B)]
+        ok = jnp.logical_or(jnp.logical_not(suffix),
+                            (flat + s) < np.uint32(nbuck))
         for c in range(3):
             for i in range(n):
-                o_ref[c, i, :, :] = vals[c][i]
+                acc_ref[c, i, :, :] = jnp.where(ok, cand[c].limbs[i],
+                                                vals[c][i])
+
+        @pl.when(k == 2 * nsteps - 1)
+        def _fin():
+            o_ref[...] = acc_ref[...]
 
     pv = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -685,8 +738,11 @@ def bucket_reduce_call(curve: CurveSpec, nbuck: int):
         out = pl.pallas_call(
             body,
             out_shape=jax.ShapeDtypeStruct((3, n, S, 128), jnp.uint32),
+            grid=(2 * nsteps,),
             in_specs=[pv],
             out_specs=pv,
+            scratch_shapes=[pltpu.VMEM((3, n, S, 128), jnp.uint32)],
+            interpret=interpret,
         )(buckets.reshape(3, n, S, 128))
         return out.reshape(3, n, nbuck)
 
@@ -694,41 +750,121 @@ def bucket_reduce_call(curve: CurveSpec, nbuck: int):
 
 
 @functools.lru_cache(maxsize=None)
-def ladder_call(curve: CurveSpec, T: int, nw: int, B: int, block: int = 1024,
-                interpret: bool = False):
-    """Fused T-term Straus window ladder — the scalar_mul / ECDSA-verify
-    lincomb hot loop (scalarmul.py::{scalar_mul,lincomb}) as ONE kernel.
+def horner_call(curve: CurveSpec, w: int, nw: int, interpret: bool = False):
+    """Fused Pippenger window combine: acc = 2^w * acc + S_j over the nw
+    per-window sums, MSB window first (parallel/msm.py step 9). One grid
+    step per window, each w doublings + 1 add on a single [8, 128] tile
+    block (the values are broadcast across the tile; the caller reads lane
+    0). Replaces nw*(w+1) single-point XLA ops whose per-op dispatch
+    dominated the MSM tail.
 
-    Per lane block: the 16-entry tables for all T terms are built in-kernel
-    (15 sequential adds each, via fori_loop into VMEM scratch — the XLA path
-    paid ~14 separate padd dispatches for this), then nw window steps of
-    [4 doublings + T (ct-select + add)] run with the accumulator carried in
-    VMEM scratch across the sequential window grid dimension. The ct select
-    reads all 16 entries per term (one fori_loop) — constant-time by
-    construction, like the XLA one-hot path.
-
-    jitted (bases uint32[T, 3, n, B], digs uint32[nw, T, B]) -> [3, n, B]
-    with digs MSB-window first (scalarmul.window_digits layout).
+    jitted (S_all uint32[nw, 3, n, 8, 128]) -> [3, n, 8, 128]
     """
-    assert _supported(curve) and ladder_fits(curve, T)
+    assert _supported(curve)
+    f = curve.field
+    n = f.n_limbs
+    kadd = _KADD[curve.strategy]
+    kdouble = _KDOUBLE[curve.strategy]
+
+    def body(s_ref, o_ref, acc_ref):
+        ci = pl.program_id(0)
+        ident = _ident_rows(f, (8, 128))
+
+        @pl.when(ci == 0)
+        def _init():
+            for c in range(3):
+                for i in range(n):
+                    acc_ref[c, i, :, :] = ident[c][i]
+
+        acc = tuple(acc_ref[c, i, :, :] for c in range(3) for i in range(n))
+
+        def _unflat(rows_):
+            return [K.kfe_from_rows(f, list(rows_[c * n:(c + 1) * n]))
+                    for c in range(3)]
+
+        def _flat(fes):
+            return tuple(r for fe in fes for r in fe.limbs)
+
+        def dstep(_, carry):
+            return _flat([K.ksteady(v)
+                          for v in kdouble(curve, *_unflat(carry))])
+
+        acc = jax.lax.fori_loop(0, w, dstep, acc)
+        Sw = [K.kfe_from_rows(f, [s_ref[0, c, i, :, :] for i in range(n)])
+              for c in range(3)]
+        acc = _flat([K.ksteady(v)
+                     for v in kadd(curve, *_unflat(acc), *Sw)])
+        for c in range(3):
+            for i in range(n):
+                acc_ref[c, i, :, :] = acc[c * n + i]
+
+        @pl.when(ci == nw - 1)
+        def _fin():
+            for c in range(3):
+                for i in range(n):
+                    o_ref[c, i, :, :] = acc[c * n + i]
+
+    sv = pl.BlockSpec((1, 3, n, 8, 128), lambda c: (c, 0, 0, 0, 0),
+                      memory_space=pltpu.VMEM)
+    ov = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def run(s_all):
+        return pl.pallas_call(
+            body,
+            out_shape=jax.ShapeDtypeStruct((3, n, 8, 128), jnp.uint32),
+            grid=(nw,),
+            in_specs=[sv],
+            out_specs=ov,
+            scratch_shapes=[pltpu.VMEM((3, n, 8, 128), jnp.uint32)],
+            interpret=interpret,
+        )(s_all)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def ladder_call(curve: CurveSpec, T: int, nw: int, B: int, block: int = 1024,
+                glv: bool = False, interpret: bool = False):
+    """Fused signed-digit Straus window ladder — the scalar_mul / ECDSA-verify
+    lincomb hot loop (scalarmul.py::{scalar_mul,lincomb,lincomb_glv}) as ONE
+    kernel.
+
+    Digits are recoded to signed [-8, 8] windows (scalarmul.signed_digits,
+    the reference's Radix16Decomposition, k256/src/arithmetic/mul.rs:274-305),
+    so each base needs only a 9-entry table [O, Q, .., 8Q] — built in-kernel
+    with 7 sequential adds per block — and the constant-time select reads 9
+    entries instead of 16; the digit sign conditionally negates the selected
+    y (masked, no branches). The accumulator rides VMEM scratch across the
+    sequential window grid dimension.
+
+    With glv=True the H = 2T half-scalar terms share the T base tables
+    through the curve endomorphism (k256 lincomb, mul.rs:342-393): term 2t
+    selects from table t directly, term 2t+1 applies psi(x, y) = (beta*x, y)
+    post-select (one field mul). The per-window neg masks already fold the
+    half sign with the digit sign (computed by scalarmul.lincomb_glv).
+
+    jitted (bases uint32[T, 3, n, B], mag uint32[nw, H, B],
+            neg uint32[nw, H, B]) -> [3, n, B], windows MSB first,
+    H = 2T if glv else T.
+    """
+    assert _supported(curve)
+    assert not glv or curve.glv
     f = curve.field
     n = f.n_limbs
     assert B % 128 == 0
-    block = min(block, B)
     stride = 3 * n          # tiles per table entry in the flat scratch
-    # VMEM budget: the in-kernel table dominates ((T*16+4)*stride tiles of
-    # [S,128] uint32). Mosaic requires sublane blocks divisible by 8, so the
-    # lane block can only shrink to S=8 (1024 lanes); wide-limb multi-term
-    # ladders that still exceed the budget then (p384 T=2) are rejected by
-    # ladder_fits and stay on the XLA path.
-    while block > 1024 and (T * 16 + 4) * stride * (block // 128) * 512 > 10 << 20:
-        block //= 2
-    S = block // 128
+    # VMEM budget: the in-kernel table dominates ((T*TBL+4)*stride tiles of
+    # [S,128] uint32); _ladder_block picks the largest lane block (dividing
+    # the batch) that fits ~10MB. Ladders no block fits (p521 T>=3 at any S)
+    # are rejected by ladder_fits and stay on the XLA path.
+    S = _ladder_block(curve, T, B, block)
+    assert S >= 1, "in-kernel tables exceed the VMEM budget at any block"
     rows = B // 128
-    assert rows % S == 0
     GL = rows // S
+    H = 2 * T if glv else T
     kadd = _KADD[curve.strategy]
     kdouble = _KDOUBLE[curve.strategy]
+    beta_i = curve.glv["beta"] if glv else 0
 
     def _unflat(rows_):
         return [K.kfe_from_rows(f, list(rows_[c * n:(c + 1) * n]))
@@ -737,14 +873,14 @@ def ladder_call(curve: CurveSpec, T: int, nw: int, B: int, block: int = 1024,
     def _flat(fes):
         return tuple(r for fe in fes for r in fe.limbs)
 
-    def body(base_ref, dig_ref, o_ref, tbl_ref, acc_ref):
+    def body(base_ref, mag_ref, neg_ref, o_ref, tbl_ref, acc_ref):
         ci = pl.program_id(1)
 
         @pl.when(ci == 0)
         def _init():
             ident = _ident_rows(f, (S, 128))
             for t in range(T):
-                off = t * 16 * stride
+                off = t * TBL * stride
                 Bse = [K.kfe_from_rows(
                     f, [base_ref[t, c, i, :, :] for i in range(n)])
                     for c in range(3)]
@@ -763,7 +899,7 @@ def ladder_call(curve: CurveSpec, T: int, nw: int, B: int, block: int = 1024,
                         tbl_ref[off + k * stride + j] = r
                     return flat
 
-                jax.lax.fori_loop(2, 16, tstep, tuple(rows0))
+                jax.lax.fori_loop(2, TBL, tstep, tuple(rows0))
             for c in range(3):
                 for i in range(n):
                     acc_ref[c, i, :, :] = ident[c][i]
@@ -774,29 +910,39 @@ def ladder_call(curve: CurveSpec, T: int, nw: int, B: int, block: int = 1024,
             return _flat([K.ksteady(v) for v in kdouble(curve, *_unflat(carry))])
 
         acc = jax.lax.fori_loop(0, 4, dstep, acc)
+        ident = _ident_rows(f, (S, 128))
+        beta_c = K.kfe_const(f, beta_i, (S, 128)) if glv else None
 
-        for t in range(T):
-            dig = dig_ref[0, t, :, :]
-            off = t * 16 * stride
+        for h in range(H):
+            t, endo_f = (h // 2, h % 2) if glv else (h, 0)
+            mag = mag_ref[0, h, :, :]
+            off = t * TBL * stride
 
-            def sel_step(k, sel, dig=dig, off=off):
-                m = dig == k.astype(jnp.uint32)
+            def sel_step(k, sel, mag=mag, off=off):
+                m = mag == k.astype(jnp.uint32)
                 base = off + k * stride
                 return tuple(jnp.where(m, tbl_ref[base + j], sel[j])
                              for j in range(stride))
 
-            ident = _ident_rows(f, (S, 128))
             sel = jax.lax.fori_loop(
-                0, 16, sel_step, tuple(r for cc in ident for r in cc))
+                0, TBL, sel_step, tuple(r for cc in ident for r in cc))
+            X, Y, Z = _unflat(sel)
+            if endo_f:
+                X = K.kmul(beta_c, X)
+            negm = neg_ref[0, h, :, :] != 0
+            Yn = K.ksteady(K.kneg(Y))
+            Y = K.kfe_from_rows(
+                f, [jnp.where(negm, a, b) for a, b in zip(Yn.limbs, Y.limbs)])
             new = _flat([K.ksteady(v)
-                         for v in kadd(curve, *_unflat(acc), *_unflat(sel))])
-            if T == 1:
+                         for v in kadd(curve, *_unflat(acc), X, Y, Z)])
+            if H == 1:
                 # bit-parity with scalarmul.scalar_mul's XLA ladder, which
-                # seeds acc from the MSB window's table entry instead of
-                # adding it to the identity (add(O, P) returns a Y-scaled
-                # representative; a direct select keeps the exact limbs).
+                # seeds acc from the MSB window's (sign-folded) table entry
+                # instead of adding it to the identity (add(O, P) returns a
+                # Y-scaled representative; a direct select keeps the limbs).
                 first = ci == 0
-                acc = tuple(jnp.where(first, sel[j], new[j])
+                sel_s = _flat([X, Y, Z])
+                acc = tuple(jnp.where(first, sel_s[j], new[j])
                             for j in range(stride))
             else:
                 acc = new
@@ -813,24 +959,25 @@ def ladder_call(curve: CurveSpec, T: int, nw: int, B: int, block: int = 1024,
 
     bv = pl.BlockSpec((T, 3, n, S, 128), lambda l, c: (0, 0, 0, l, 0),
                       memory_space=pltpu.VMEM)
-    dv = pl.BlockSpec((1, T, S, 128), lambda l, c: (c, 0, l, 0),
+    dv = pl.BlockSpec((1, H, S, 128), lambda l, c: (c, 0, l, 0),
                       memory_space=pltpu.VMEM)
     ov = pl.BlockSpec((3, n, S, 128), lambda l, c: (0, 0, l, 0),
                       memory_space=pltpu.VMEM)
 
-    def run(bases, digs):
+    def run(bases, mag, neg):
         b5 = bases.reshape(T, 3, n, rows, 128)
-        d4 = digs.reshape(nw, T, rows, 128)
+        m4 = mag.reshape(nw, H, rows, 128)
+        g4 = neg.reshape(nw, H, rows, 128)
         out = pl.pallas_call(
             body,
             out_shape=jax.ShapeDtypeStruct((3, n, rows, 128), jnp.uint32),
             grid=(GL, nw),
-            in_specs=[bv, dv],
+            in_specs=[bv, dv, dv],
             out_specs=ov,
-            scratch_shapes=[pltpu.VMEM((T * 16 * stride, S, 128), jnp.uint32),
+            scratch_shapes=[pltpu.VMEM((T * TBL * stride, S, 128), jnp.uint32),
                             pltpu.VMEM((3, n, S, 128), jnp.uint32)],
             interpret=interpret,
-        )(b5, d4)
+        )(b5, m4, g4)
         return out.reshape(3, n, B)
 
     return run
@@ -842,15 +989,17 @@ def genmul_call(curve: CurveSpec, nw: int, B: int, block: int = 1024,
     """Fused comb fixed-base ladder — scalarmul.mul_by_generator (the ECDSA
     sign hot loop, cf. k256/src/arithmetic/mul.rs:424-439) as ONE kernel.
 
-    Per window step: a constant-time 16-way select of the affine comb entry
-    (table scalars live in SMEM; the select is 16 masked broadcasts per limb,
-    no secret-indexed loads) feeds one complete mixed add (RCB Alg 5/8); the
-    accumulator rides VMEM scratch across the sequential window grid dim.
-    The XLA path paid one padd_mixed dispatch per window (nw total).
+    Per window step: a constant-time 9-way select of the signed affine comb
+    entry (Radix16 signed digits — table scalars live in SMEM; the select is
+    9 masked broadcasts per limb, no secret-indexed loads), a conditional y
+    negation, then one complete mixed add (RCB Alg 5/8); the accumulator
+    rides VMEM scratch across the sequential window grid dim. The XLA path
+    paid one padd_mixed dispatch per window (nw total).
 
-    jitted (tbl uint32[nw, 16, 2, n], digs uint32[nw, B]) -> [3, n, B]
-    with window j LSB-first (table row j holds d * 16^j * G) matching
-    scalarmul._gen_tables_np; entry 0 is the dummy masked via dig == 0.
+    jitted (tbl uint32[nw, 9, 2, n], mag uint32[nw, B], neg uint32[nw, B])
+    -> [3, n, B] with window j LSB-first (table row j holds d * 16^j * G)
+    matching scalarmul._gen_tables_np; entry 0 is the dummy masked via
+    mag == 0.
     """
     assert _supported(curve)
     f = curve.field
@@ -863,7 +1012,7 @@ def genmul_call(curve: CurveSpec, nw: int, B: int, block: int = 1024,
     GL = rows // S
     kadd_mixed = _KADD_MIXED[curve.strategy]
 
-    def body(tbl_ref, dig_ref, o_ref, acc_ref):
+    def body(tbl_ref, dig_ref, neg_ref, o_ref, acc_ref):
         ci = pl.program_id(1)
         ident = _ident_rows(f, (S, 128))
 
@@ -876,13 +1025,17 @@ def genmul_call(curve: CurveSpec, nw: int, B: int, block: int = 1024,
         dig = dig_ref[0, :, :]
         zero = jnp.zeros((S, 128), jnp.uint32)
         sel = [[zero for _ in range(n)] for _ in range(2)]
-        for k in range(16):
+        for k in range(TBL):
             m = dig == np.uint32(k)
             for c in range(2):
                 for i in range(n):
                     sel[c][i] = jnp.where(m, tbl_ref[0, k, c, i], sel[c][i])
         x2 = K.kfe_from_rows(f, sel[0])
         y2 = K.kfe_from_rows(f, sel[1])
+        negm = neg_ref[0, :, :] != 0
+        y2n = K.ksteady(K.kneg(y2))
+        y2 = K.kfe_from_rows(
+            f, [jnp.where(negm, a, b) for a, b in zip(y2n.limbs, y2.limbs)])
         acc = [[acc_ref[c, i, :, :] for i in range(n)] for c in range(3)]
         A = [K.kfe_from_rows(f, rows_) for rows_ in acc]
         new = [K.ksteady(v) for v in kadd_mixed(curve, *A, x2, y2)]
@@ -898,24 +1051,25 @@ def genmul_call(curve: CurveSpec, nw: int, B: int, block: int = 1024,
                 for i in range(n):
                     o_ref[c, i, :, :] = acc_ref[c, i, :, :]
 
-    tv = pl.BlockSpec((1, 16, 2, n), lambda l, c: (c, 0, 0, 0),
+    tv = pl.BlockSpec((1, TBL, 2, n), lambda l, c: (c, 0, 0, 0),
                       memory_space=pltpu.SMEM)
     dv = pl.BlockSpec((1, S, 128), lambda l, c: (c, l, 0),
                       memory_space=pltpu.VMEM)
     ov = pl.BlockSpec((3, n, S, 128), lambda l, c: (0, 0, l, 0),
                       memory_space=pltpu.VMEM)
 
-    def run(tbl, digs):
-        d3 = digs.reshape(nw, rows, 128)
+    def run(tbl, mag, neg):
+        m3 = mag.reshape(nw, rows, 128)
+        g3 = neg.reshape(nw, rows, 128)
         out = pl.pallas_call(
             body,
             out_shape=jax.ShapeDtypeStruct((3, n, rows, 128), jnp.uint32),
             grid=(GL, nw),
-            in_specs=[tv, dv],
+            in_specs=[tv, dv, dv],
             out_specs=ov,
             scratch_shapes=[pltpu.VMEM((3, n, S, 128), jnp.uint32)],
             interpret=interpret,
-        )(tbl, d3)
+        )(tbl, m3, g3)
         return out.reshape(3, n, B)
 
     return run

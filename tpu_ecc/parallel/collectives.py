@@ -28,34 +28,17 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp",
                 tuple(f"ax{i}" for i in range(len(shape))))
 
 
-def shard_batch(mesh: Mesh, axis: str, arr, batch_axis: int = -1):
-    """Place an array with its batch axis sharded over `axis`."""
+def shard_batch(mesh: Mesh, axis, arr, batch_axis: int = -1):
+    """Place an array with its batch axis sharded over `axis` (one mesh axis
+    name or a tuple for multi-axis sharding)."""
     spec = [None] * arr.ndim
     spec[batch_axis] = axis
     return jax.device_put(arr, NamedSharding(mesh, PS(*spec)))
 
 
-def replicate(mesh: Mesh, arr):
-    return jax.device_put(arr, NamedSharding(mesh, PS()))
-
-
 # in-SPMD collectives (usable inside shard_map bodies)
 
-def all_gather(x, axis: str, tiled: bool = True):
-    return jax.lax.all_gather(x, axis, axis=0, tiled=tiled)
-
-
-def psum(x, axis: str):
-    """Arithmetic all-reduce (limb arrays must be carried first: uint32 limb
-    sums of D devices need log2(D) headroom bits)."""
-    return jax.lax.psum(x, axis)
-
-
-def ppermute_ring(x, axis: str, shift: int = 1):
-    n = jax.lax.axis_size(axis)
-    perm = [(i, (i + shift) % n) for i in range(n)]
-    return jax.lax.ppermute(x, axis, perm)
-
-
-def axis_index(axis: str):
-    return jax.lax.axis_index(axis)
+def all_gather(x, mesh_axis: str, axis: int = 0, tiled: bool = True):
+    """Gather shards over `mesh_axis` along array dim `axis` (the MSM
+    partial-fold transport, parallel/msm.py::msm_sharded)."""
+    return jax.lax.all_gather(x, mesh_axis, axis=axis, tiled=tiled)

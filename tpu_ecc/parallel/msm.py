@@ -227,6 +227,20 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
     assert N % L == 0 and L & (L - 1) == 0, (N, L)
     C = N // L
     nbuck = 1 << w
+    # fused Mosaic kernels are the default TPU path (segmented scan, lane
+    # fix-up, bucket reduction, window combine — all grid-stepped, so cold
+    # compile is minutes not the round-2 "full" mode's ~16; TPU_ECC_KERNELS=0
+    # or kernels=False reverts to the XLA graphs, the CPU/test path)
+    use_k = bool(kernels)
+    if kernels is None:
+        import os
+        from ..ops import pallas_kernels as PK
+        use_k = (os.environ.get("TPU_ECC_KERNELS", "1") != "0"
+                 and jax.default_backend() == "tpu" and PK._supported(curve)
+                 and L % 128 == 0)
+    use_full = use_k and L % 128 == 0 and nbuck % 128 == 0
+    import os
+    _interp = os.environ.get("TPU_ECC_INTERPRET") == "1"  # CPU kernel tests
 
     pts = P.from_affine(curve, xs, ys, inf_mask)
     pl = P.point_limbs(P.steady(pts))                       # [3, n, N]
@@ -268,15 +282,10 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
             newacc = jnp.where(k_ == pk, cand, v_)
             return (k_, newacc), newacc
 
-        use_k = bool(kernels)
-        if kernels is None:
-            from ..ops import pallas_kernels as PK
-            use_k = (jax.default_backend() == "tpu" and PK._supported(curve)
-                     and L % 128 == 0)
         if use_k:
             from ..ops import pallas_kernels as PK
             scanned, last_key, t_l = PK.segscan_call(
-                curve, C, L, nbuck)(key2, val2)
+                curve, C, L, nbuck, interpret=_interp)(key2, val2)
         else:
             init = (jnp.full((L,), nbuck, U32), ident_L)    # nbuck != any key
             (last_key, t_l), scanned = jax.lax.scan(
@@ -302,15 +311,12 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
             scanned, jnp.broadcast_to(lead_end[None, None, None, :],
                                       (1, 3, n, L)), axis=0)[0]  # [3, n, L]
         # 4) stitch runs crossing lane boundaries + apply the carry
-        if kernels == "full":
-            # fused fix-up kernel: TPU-verified bit-equal to the default path
-            # and the host oracle (tools/verify_full_msm.py); 2^20 = 1.18s
-            # (8.9e5 points/s, 1.7x the segscan-only path). Opt-in rather than
-            # default because the first compile through the remote compiler is
-            # ~16 min (PERF.md) — use for long-lived aggregation services.
+        if use_full:
+            # grid-stepped fused fix-up kernel (TPU-verified vs the XLA path
+            # and the host oracle, tools/verify_full_msm.py)
             from ..ops import pallas_kernels as PK
-            fixed = PK.fixup_call(curve, L)(t_l, last_key, first_key,
-                                            lead_vals)
+            fixed = PK.fixup_call(curve, L, interpret=_interp)(
+                t_l, last_key, first_key, lead_vals)
         else:
             if lsteps:
                 shifts = jnp.asarray([1 << i for i in range(lsteps)],
@@ -347,27 +353,40 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
         buckets = jnp.moveaxis(buckets_m, 0, -1).reshape(3, n, nbuck)
 
         # 8) weighted bucket sum: sum_b b*S_b = sum_{b>=1} suffix_b
-        if kernels == "full" and nbuck % 128 == 0:
+        if use_full:
             from ..ops import pallas_kernels as PK
-            red = PK.bucket_reduce_call(curve, nbuck)(buckets)
-            S = P.point_from_limbs(curve, red[..., 0])
+            red = PK.bucket_reduce_call(curve, nbuck,
+                                        interpret=_interp)(buckets)
+            s_l = red[..., 0]
         else:
             suff = _hs_scan(curve, buckets, w, "suffix", unroll=hs_unroll)
             suff = suff.at[:, :, 0].set(ident1)             # drop bucket 0
-            S = P.point_from_limbs(
-                curve,
-                _hs_scan(curve, suff, w, "total", unroll=hs_unroll)[..., 0])
+            s_l = _hs_scan(curve, suff, w, "total", unroll=hs_unroll)[..., 0]
+        return None, s_l
 
-        # 9) acc = 2^w * acc + S
+    # per-window sums S_j (MSB window first), then one Horner combine
+    # acc = 2^w * acc + S_j — as a fused grid-stepped kernel on TPU (the XLA
+    # formulation paid nw*(w+1) single-point op dispatches)
+    _, s_all = jax.lax.scan(window, None, digs)             # [nw, 3, n]
+    nw = s_all.shape[0]
+    if use_full:
+        from ..ops import pallas_kernels as PK
+        s_b = jnp.broadcast_to(s_all[..., None, None], (nw, 3, n, 8, 128))
+        out = PK.horner_call(curve, w, nw, interpret=_interp)(s_b)
+        return P.point_from_limbs(curve, out[..., 0, 0])
+
+    def comb(acc_l, s_l):
         def dbl(_, a):
-            return P.point_limbs(P.steady(P.pdouble(P.point_from_limbs(curve, a))))
+            return P.point_limbs(P.steady(P.pdouble(
+                P.point_from_limbs(curve, a))))
 
         acc_l = jax.lax.fori_loop(0, w, dbl, acc_l,
                                   unroll=min(hs_unroll, w))
-        acc = P.padd(P.point_from_limbs(curve, acc_l), S)
+        acc = P.padd(P.point_from_limbs(curve, acc_l),
+                     P.point_from_limbs(curve, s_l))
         return P.point_limbs(P.steady(acc)), None
 
-    acc_l, _ = jax.lax.scan(window, ident1, digs)
+    acc_l, _ = jax.lax.scan(comb, ident1, s_all)
     return P.point_from_limbs(curve, acc_l)
 
 
@@ -375,18 +394,27 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
 # multi-device sharded MSM
 # ---------------------------------------------------------------------------
 
-def msm_sharded(curve: CurveSpec, mesh: Mesh, axis: str, xs_l, ys_l, inf_mask,
+def msm_sharded(curve: CurveSpec, mesh: Mesh, axis, xs_l, ys_l, inf_mask,
                 k_l, terms: int = 8, scalar_bits=None, method: str = "straus",
                 w: int = 13, lanes: int = 8192, seg_unroll: int = 8,
                 hs_unroll: int = 4):
     """MSM with the point axis sharded over `axis` of `mesh`.
 
-    Inputs are raw arrays (limb arrays [n, N] / mask [N]) sharded on the point
-    axis; output is the replicated MSM result's packed limbs [3, n].
-    Per-device partials travel over ICI via one all_gather (Straus: `lanes`
-    points each; Pippenger: one point each) and every device folds them with
-    the same log-depth tree — deterministic and cheap.
+    `axis` is one mesh axis name or a tuple ordered outermost first, e.g.
+    ("dcn", "ici") for a multi-host topology: the reduction is then
+    hierarchical — per-device partials all_gather + log-tree fold on the
+    innermost (ICI) axis first, and only ONE already-folded point per slice
+    (~240B) crosses each outer (DCN) axis for its own small fold.
+
+    Inputs are raw arrays (limb arrays [n, N] / mask [N]) sharded on the
+    point axis over all the given axes; output is the replicated MSM
+    result's packed limbs [3, n]. Straus gathers `lanes` points per device,
+    Pippenger one; every device folds the same gathered partials with the
+    same log-depth tree — deterministic and cheap.
     """
+    from . import collectives as C
+
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
     f = curve.field
 
     def local(xs_s, ys_s, inf_s, k_s):
@@ -400,9 +428,11 @@ def msm_sharded(curve: CurveSpec, mesh: Mesh, axis: str, xs_l, ys_l, inf_mask,
         else:
             pt = msm_local_lanes(curve, xs, ys, inf_s, k_s, terms, scalar_bits)
             packed = P.point_limbs(pt)                   # [3, n, lanes]
-        allp = jax.lax.all_gather(packed, axis, axis=2, tiled=True)
-        red = tree_reduce_points(P.point_from_limbs(curve, allp))
-        return P.point_limbs(red)
+        for ax in reversed(axes):                        # innermost first
+            allp = C.all_gather(packed, ax, axis=2, tiled=True)
+            red = tree_reduce_points(P.point_from_limbs(curve, allp))
+            packed = P.point_limbs(red)[..., None]
+        return packed[..., 0]
 
     # the output is replicated by construction (every device folds the same
     # all_gathered partials); the static varying-manual-axes checker cannot
@@ -410,7 +440,7 @@ def msm_sharded(curve: CurveSpec, mesh: Mesh, axis: str, xs_l, ys_l, inf_mask,
     # check_vma escape hatch; requires jax >= 0.6 for the stable API)
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(PS(None, axis), PS(None, axis), PS(axis), PS(None, axis)),
+        in_specs=(PS(None, axes), PS(None, axes), PS(axes), PS(None, axes)),
         out_specs=PS(), check_vma=False,
     )
     return fn(xs_l, ys_l, inf_mask, k_l)
@@ -426,9 +456,15 @@ def msm(curve: CurveSpec, points, scalars, mesh: Mesh | None = None,
     the sharded (or single-device) kernel, returns the affine result.
     method: 'straus' (constant-time; small N), 'pippenger' (large public
     aggregations), or 'auto' (Pippenger from 2^14 points per device).
+    axis: one mesh axis name or a tuple ordered outermost first (see
+    msm_sharded's hierarchical reduction).
     """
     N = len(points)
-    D = mesh.shape[axis] if mesh is not None else 1
+    if mesh is None:
+        D = 1
+    else:
+        axes = (axis,) if isinstance(axis, str) else tuple(axis)
+        D = int(np.prod([mesh.shape[a] for a in axes]))
     if method == "auto":
         method = "pippenger" if N // max(D, 1) >= (1 << 14) else "straus"
     if method == "pippenger":

@@ -137,7 +137,10 @@ def _verify_core(curve: CurveSpec):
         u2 = F.fto_raw_canonical(F.fmul(r_m, sinv))
         Q = P.from_affine(curve, qx, qy)
         G = P.generator(curve, bshape)
-        R = SM.lincomb([(G, u1), (Q, u2)])
+        # k256 routes through the GLV split (the reference's verify always
+        # does, k256/src/arithmetic/mul.rs:443-445); others run the plain
+        # full-width Straus lincomb.
+        R = SM.lincomb_auto([(G, u1), (Q, u2)])
         # r == x(R) mod n  <=>  X == r*Z or X == (r+n)*Z  (projective check)
         r_f = F.fe_from_words(f, r_w, sbits)
         n_f = F.fe_from_int(f, s.p % f.p, bshape)
@@ -268,7 +271,7 @@ def _recover_core(curve: CurveSpec):
         u2 = F.fto_raw_canonical(F.fmul(s_m, rinv))
         Rp = P.from_affine(curve, x, y)
         G = P.generator(curve, bshape)
-        Q = SM.lincomb([(G, u1), (Rp, u2)])
+        Q = SM.lincomb_auto([(G, u1), (Rp, u2)])
         qx, qy, inf = P.to_affine(Q)
         ok = jnp.logical_and(is_sq, jnp.logical_not(inf))
         return F.fe_to_words(qx), F.fe_to_words(qy), ok

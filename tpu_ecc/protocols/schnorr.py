@@ -55,29 +55,73 @@ def _sign_core(curve: CurveSpec):
 
 @functools.lru_cache(maxsize=None)
 def _verify_core(curve: CurveSpec):
+    """All-device verify incl. the x-only key decompress: lift_x runs as a
+    batched device sqrt (no per-element host work — same pattern as
+    ecdsa._recover_core), then R = s*G - e*P; valid iff the sqrt existed,
+    R != O, affine-x(R) == r and y(R) is even (BIP340; cf.
+    k256/src/schnorr/verifying.rs:62-110)."""
+    f = curve.field
+    s = curve.scalar
+    fbits, sbits = f.bits, s.bits
+    nwf = (fbits + 31) // 32
+    nws = (sbits + 31) // 32
+
     @jax.jit
-    def core(px, py, s_raw, ne_raw, r_f):
-        """R = s*G - e*P; valid iff R affine-x == r and y(R) even."""
-        Pp = P.from_affine(curve, px, py)
-        G = P.generator(curve, px.batch_shape)
-        R = SM.lincomb([(G, s_raw), (Pp, ne_raw)])
-        x, y, inf = P.to_affine(R)
-        okx = F.feq(x, r_f)
-        y_even = (F.fto_raw_canonical(y)[0] & np.uint32(1)) == 0
-        return jnp.logical_not(inf) & okx & y_even
+    def core(buf):
+        """buf: [2*nwf + 2*nws, B] uint32 — px, r field words; s, n-e
+        scalar words. One H2D transfer (~30ms per-transfer tunnel)."""
+        bshape = buf.shape[1:]
+        o = 0
+        px_w = buf[o:o + nwf]; o += nwf
+        r_w = buf[o:o + nwf]; o += nwf
+        s_w = buf[o:o + nws]; o += nws
+        ne_w = buf[o:o + nws]; o += nws
+        x = F.fe_from_words(f, px_w, fbits)
+        # lift_x: y = sqrt(x^3 + b) with even y (a = 0 for secp256k1)
+        rhs = F.fmul(F.fsquare(x), x) + F.fe_from_int(f, curve.b, bshape)
+        y, is_sq = F.fsqrt(rhs)
+        y_odd = (F.fto_raw_canonical(y)[0] & np.uint32(1)) == 1
+        y = F.fselect(y_odd, F.fneg(y), y)
+        Pp = P.from_affine(curve, x, y)
+        G = P.generator(curve, bshape)
+        s_raw = F.relimb(s_w, 32, s.limb_bits, s.n_limbs)
+        ne_raw = F.relimb(ne_w, 32, s.limb_bits, s.n_limbs)
+        R = SM.lincomb_auto([(G, s_raw), (Pp, ne_raw)])
+        xR, yR, inf = P.to_affine(R)
+        okx = F.feq(xR, F.fe_from_words(f, r_w, fbits))
+        y_even = (F.fto_raw_canonical(yR)[0] & np.uint32(1)) == 0
+        return is_sq & jnp.logical_not(inf) & okx & y_even
+
+    return core
+
+
+@functools.lru_cache(maxsize=None)
+def _pubkey_core(curve: CurveSpec):
+    """Batched x-only public keys: d -> (x(dG) words, y-parity)."""
+    @jax.jit
+    def core(d_raw):
+        Pt = SM.mul_by_generator(curve, d_raw)
+        x, y, _ = P.to_affine(Pt)
+        yr = F.fto_raw_canonical(y)
+        return F.fe_to_words(x), (yr[0] & np.uint32(1)) == 1
 
     return core
 
 
 def sign_batch(curve: CurveSpec, d_ints, msgs, aux_rands):
-    """Batched BIP340 sign. Returns list of 64-byte signatures."""
+    """Batched BIP340 sign. Returns list of 64-byte signatures.
+
+    Both scalar-muls run batched on device: the public keys dG in one
+    mul_by_generator call, then (after the host nonce hashing, which needs
+    the x bytes) R = kG in another."""
     n, fb = curve.n, curve.field_bytes
-    G = ec_host.aff_generator(curve)
+    px_w, py_odd = _pubkey_core(curve)(SM.pack_scalars(curve, d_ints))
+    px_ints = F.ints_from_words(px_w)
+    py_odd = np.asarray(py_odd)
     d_adj, pxs, ks = [], [], []
-    for d, msg, aux in zip(d_ints, msgs, aux_rands):
-        Pt = ec_host.aff_mul(curve, d, G)
-        dd = d if Pt[1] % 2 == 0 else n - d
-        px = int_to_be_bytes(Pt[0], fb)
+    for i, (d, msg, aux) in enumerate(zip(d_ints, msgs, aux_rands)):
+        dd = n - d if py_odd[i] else d
+        px = int_to_be_bytes(px_ints[i], fb)
         t = dd ^ be_bytes_to_int(tagged_hash("BIP0340/aux", aux))
         rand = tagged_hash("BIP0340/nonce",
                            int_to_be_bytes(t, 32) + px + msg)
@@ -105,32 +149,35 @@ def sign_batch(curve: CurveSpec, d_ints, msgs, aux_rands):
 
 
 def verify_batch(curve: CurveSpec, px_ints, msgs, sigs):
-    """Batched BIP340 verify. Returns list[bool]."""
+    """Batched BIP340 verify. Returns list[bool]. The host does only range
+    checks, hashing and word packing; the x-only decompress (lift_x) and all
+    group algebra run batched on device."""
     n, p, fb = curve.n, curve.p, curve.field_bytes
-    pre_ok, pts, ss, nes, rs = [], [], [], [], []
+    pre_ok, xs, ss, nes, rs = [], [], [], [], []
     for px, msg, sig in zip(px_ints, msgs, sigs):
-        ok = len(sig) == 2 * fb
-        pt = lift_x(curve, px) if ok else None
+        ok = len(sig) == 2 * fb and 0 < px < p
         r = be_bytes_to_int(sig[:fb]) if ok else 1
         s = be_bytes_to_int(sig[fb:]) if ok else 1
-        ok = ok and pt is not None and r < p and s < n
+        ok = ok and r < p and s < n
         if ok:
             e = be_bytes_to_int(tagged_hash(
                 "BIP0340/challenge",
                 sig[:fb] + int_to_be_bytes(px, fb) + msg)) % n
         else:
-            pt, r, s, e = ec_host.aff_generator(curve), 1, 1, 0
+            px, r, s, e = curve.gx, 1, 1, 0
         pre_ok.append(ok)
-        pts.append(pt)
+        xs.append(px)
         ss.append(s)
         nes.append((n - e) % n)
         rs.append(r)
-    qx = F.fe_from_ints(curve.field, [q[0] for q in pts])
-    qy = F.fe_from_ints(curve.field, [q[1] for q in pts])
-    s_raw = SM.pack_scalars(curve, ss)
-    ne_raw = SM.pack_scalars(curve, nes)
-    r_f = F.fe_from_ints(curve.field, rs)
-    ok = np.asarray(_verify_core(curve)(qx, qy, s_raw, ne_raw, r_f))
+    f, sc = curve.field, curve.scalar
+    buf = np.concatenate([
+        F.words_from_ints(xs, f.bits),
+        F.words_from_ints(rs, f.bits),
+        F.words_from_ints(ss, sc.bits),
+        F.words_from_ints(nes, sc.bits),
+    ], axis=0)
+    ok = np.asarray(_verify_core(curve)(jnp.asarray(buf)))
     return [bool(a and b) for a, b in zip(pre_ok, ok)]
 
 
