@@ -32,6 +32,18 @@ import random
 
 import pytest
 
+# The axon sitecustomize (this box's TPU tunnel bootstrap) imports jax at
+# interpreter start and pins jax.config jax_platforms="axon,cpu" — by the
+# time this file runs, the JAX_PLATFORMS env var above is no longer read.
+# Re-pin through the live config so the suite actually runs on the 8-device
+# virtual CPU mesh (a silent axon fallback remote-compiles every test
+# through the tunnel: ~10x slower and co-tenant-flaky).
+if not _TPU_MODE:
+    import jax
+
+    if jax.config.jax_platforms != "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
 
 @pytest.fixture
 def rng():

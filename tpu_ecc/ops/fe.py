@@ -513,14 +513,19 @@ def _conv_arr(xl: jax.Array, yl: jax.Array, out_shape) -> jax.Array:
 
 
 def _sq_arr(xl: jax.Array) -> jax.Array:
-    """Symmetric-square columns: 2*x_i*x_j (i<j) + x_i^2."""
+    """Symmetric-square columns: 2*x_i*x_j (i<j) + x_i^2.
+
+    One slice-add per limb (row i = x_i * [x_i, 2x_{i+1}, ..] at column 2i)
+    — the former diagonal/cross split issued ~2n slice-adds and each is a
+    full pad+add pass over the [2n-1, B] buffer (fe._slice_add), making the
+    XLA-graph square *slower* than the full mul (BENCHES r2 anomaly)."""
     n = xl.shape[0]
     dbl = xl + xl
     out = jnp.zeros((2 * n - 1,) + xl.shape[1:], U32)
     for i in range(n):
-        out = _slice_add(out, 2 * i, (xl[i] * xl[i])[None])
-        if i + 1 < n:
-            out = _slice_add(out, 2 * i + 1, xl[i] * dbl[i + 1:])
+        row = (jnp.concatenate([xl[i:i + 1], dbl[i + 1:]], axis=0)
+               if i + 1 < n else xl[i:i + 1])
+        out = _slice_add(out, 2 * i, xl[i] * row)
     return out
 
 

@@ -470,7 +470,11 @@ def segscan_call(curve: CurveSpec, C: int, L: int, nbuck: int,
     carries + spills); here a step is ~4us of fused VPU work.
 
     jitted (key2 [C, L] uint32, val2 [C, 3, n, L] uint32) ->
-      (scanned [C, 3, n, L], last_key [L], tail [3, n, L]).
+      (scanned [C, 3, n, L], last_key [L], tail [3, n, L], lead [3, n, L]).
+    `lead` is the scan value at each lane's LEADING-run end (the run whose
+    key equals the lane's first key) — tracked in-kernel so the caller
+    avoids a lane-indexed take_along_axis over the [C, 3, n, L] output
+    (a minor-axis gather, ~5 ms per 2^20 window on v5e).
     Grid: (L/Lb lane blocks) x (C/Cb row chunks, innermost; the scratch
     carry persists across the sequential TPU grid).
     """
@@ -491,19 +495,24 @@ def segscan_call(curve: CurveSpec, C: int, L: int, nbuck: int,
     from ..utils.bigint import int_to_limbs
     one_limbs = int_to_limbs(f.encode_int(1), n, f.limb_bits)
 
-    def body(key_ref, val_ref, out_ref, lk_ref, tail_ref, pk_ref, acc_ref):
+    def body(key_ref, val_ref, out_ref, lk_ref, tail_ref, lead_ref,
+             pk_ref, acc_ref, fk_ref, lead_scr):
         ci = pl.program_id(1)
 
         @pl.when(ci == 0)
         def _init():
             pk_ref[...] = jnp.full((S, 128), sentinel, jnp.uint32)
+            fk_ref[...] = key_ref[0, :, :]
             for c in range(3):
                 for i in range(n):
                     v = one_limbs[i] if c == 1 else 0  # identity (0 : 1 : 0)
                     acc_ref[c, i, :, :] = jnp.full((S, 128), np.uint32(v),
                                                    jnp.uint32)
+                    lead_scr[c, i, :, :] = jnp.full((S, 128), np.uint32(v),
+                                                    jnp.uint32)
 
         pk = pk_ref[...]
+        fk = fk_ref[...]
         acc = [[acc_ref[c, i, :, :] for i in range(n)] for c in range(3)]
         for r in range(Cb):
             k = key_ref[r, :, :]
@@ -514,9 +523,12 @@ def segscan_call(curve: CurveSpec, C: int, L: int, nbuck: int,
             same = k == pk
             acc = [[jnp.where(same, cand[c].limbs[i], v[c][i])
                     for i in range(n)] for c in range(3)]
+            is_lead = k == fk      # monotone keys: last update = run end
             for c in range(3):
                 for i in range(n):
                     out_ref[r, c, i, :, :] = acc[c][i]
+                    lead_scr[c, i, :, :] = jnp.where(
+                        is_lead, acc[c][i], lead_scr[c, i, :, :])
             pk = k
         pk_ref[...] = pk
         for c in range(3):
@@ -529,6 +541,7 @@ def segscan_call(curve: CurveSpec, C: int, L: int, nbuck: int,
             for c in range(3):
                 for i in range(n):
                     tail_ref[c, i, :, :] = acc[c][i]
+                    lead_ref[c, i, :, :] = lead_scr[c, i, :, :]
 
     kv = pl.BlockSpec((Cb, S, 128), lambda l, c: (c, l, 0),
                       memory_space=pltpu.VMEM)
@@ -543,20 +556,23 @@ def segscan_call(curve: CurveSpec, C: int, L: int, nbuck: int,
     def run(key2, val2):
         k4 = key2.reshape(C, rowsL, 128)
         v5 = val2.reshape(C, 3, n, rowsL, 128)
-        scanned, lk, tail = pl.pallas_call(
+        scanned, lk, tail, lead = pl.pallas_call(
             body,
             out_shape=(jax.ShapeDtypeStruct((C, 3, n, rowsL, 128), jnp.uint32),
                        jax.ShapeDtypeStruct((rowsL, 128), jnp.uint32),
+                       jax.ShapeDtypeStruct((3, n, rowsL, 128), jnp.uint32),
                        jax.ShapeDtypeStruct((3, n, rowsL, 128), jnp.uint32)),
             grid=(GL, GC),
             in_specs=[kv, vv],
-            out_specs=(ov, lkv, tv),
+            out_specs=(ov, lkv, tv, tv),
             scratch_shapes=[pltpu.VMEM((S, 128), jnp.uint32),
+                            pltpu.VMEM((3, n, S, 128), jnp.uint32),
+                            pltpu.VMEM((S, 128), jnp.uint32),
                             pltpu.VMEM((3, n, S, 128), jnp.uint32)],
             interpret=interpret,
         )(k4, v5)
         return (scanned.reshape(C, 3, n, L), lk.reshape(L),
-                tail.reshape(3, n, L))
+                tail.reshape(3, n, L), lead.reshape(3, n, L))
 
     return run
 

@@ -12,9 +12,13 @@ one `msm()` entry:
   w-bit window: sort points by digit (uint32 key sort + one gather), then a
   *chunked segmented scan* — each of L lanes serially accumulates a C=N/L
   contiguous run of sorted points (1 element-add per point), with a log(L)
-  Hillis–Steele fix-up stitching runs that cross lane boundaries — then
-  scatter the run-end sums into the 2^w bucket array and reduce the buckets
-  with a suffix scan + tree sum (sum_b b*S_b = sum_{b>=1} suffix_b).
+  Hillis–Steele fix-up stitching runs that cross lane boundaries — then a
+  per-bucket run-end LOOKUP (binary search on the sorted keys + one
+  nbuck-row gather; cheaper than scattering N rows) fills the 2^w bucket
+  array, reduced by a suffix scan + tree sum (sum_b b*S_b = sum suffix_b)
+  and one Horner combine across windows. On TPU every phase after the sort
+  runs as a fused Mosaic kernel (segscan/fixup/bucket/horner — grid-stepped
+  bodies, pallas_kernels.py).
   ~(ceil(bits/w) * (1 + eps)) element point-ops/point: ~21/pt for 256-bit
   scalars at w=13 vs Straus's ~96/pt. Every step is full-width, log-depth,
   and data-independent in *timing* (the sort permutation depends on scalar
@@ -256,15 +260,16 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
         jnp.moveaxis(pl.reshape(3 * n, N), -1, 0))          # [N, 3n]
 
     ident1 = P.point_limbs(P.identity(curve))               # [3, n]
-    ident_row = ident1.reshape(3 * n)
     ident_L = jnp.broadcast_to(ident1[..., None], (3, n, L))
     lane_idx = jnp.arange(L, dtype=jnp.int32)
     lsteps = max(L.bit_length() - 1, 0)
 
     def window(acc_l, dig):
-        # 1) sort by digit; gather the point payload as contiguous rows
-        order = jnp.argsort(dig)                            # [N]
-        skey = dig[order]
+        # 1) sort by digit; gather the point payload as contiguous rows.
+        # One sort_key_val yields keys AND order (argsort is sort_key_val
+        # internally; a separate dig[order] re-gather cost ~5 ms/window).
+        skey, order = jax.lax.sort_key_val(
+            dig, jnp.arange(N, dtype=jnp.int32))
         smaj = jnp.take(pl_major, order, axis=0)            # [N, 3n]
         # 2) chunk layout: lane l holds sorted[l*C : (l+1)*C]
         key2 = skey.reshape(L, C).T                         # [C, L]
@@ -284,12 +289,13 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
 
         if use_k:
             from ..ops import pallas_kernels as PK
-            scanned, last_key, t_l = PK.segscan_call(
+            scanned, last_key, t_l, lead_vals = PK.segscan_call(
                 curve, C, L, nbuck, interpret=_interp)(key2, val2)
         else:
             init = (jnp.full((L,), nbuck, U32), ident_L)    # nbuck != any key
             (last_key, t_l), scanned = jax.lax.scan(
                 seg_step, init, (key2, val2), unroll=min(seg_unroll, C))
+            lead_vals = None
         first_key = key2[0]
 
         # 4) stitch runs crossing lane boundaries: segmented Hillis-Steele
@@ -303,13 +309,15 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
             ok = (jnp.roll(last_key, s) == last_key) & (lane_idx >= s)
             return jnp.where(ok, cand, vals), None
 
-        # 5) value at each lane's leading-run end (gathered before fix-up so
-        # the fused kernel can consume it directly)
-        lead_end = jnp.sum((key2 == first_key[None, :]).astype(jnp.int32),
-                           axis=0) - 1                      # [L]
-        lead_vals = jnp.take_along_axis(
-            scanned, jnp.broadcast_to(lead_end[None, None, None, :],
-                                      (1, 3, n, L)), axis=0)[0]  # [3, n, L]
+        # 5) value at each lane's leading-run end. The fused kernel tracks it
+        # in-kernel (a lane-indexed take_along_axis over [C, 3, n, L] is a
+        # minor-axis gather, ~5 ms per 2^20 window); the XLA path gathers it.
+        if lead_vals is None:
+            lead_end = jnp.sum((key2 == first_key[None, :]).astype(jnp.int32),
+                               axis=0) - 1                  # [L]
+            lead_vals = jnp.take_along_axis(
+                scanned, jnp.broadcast_to(lead_end[None, None, None, :],
+                                          (1, 3, n, L)), axis=0)[0]  # [3,n,L]
         # 4) stitch runs crossing lane boundaries + apply the carry
         if use_full:
             # grid-stepped fused fix-up kernel (TPU-verified vs the XLA path
@@ -331,26 +339,35 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
                 P.point_from_limbs(curve, lead_vals),
                 P.point_from_limbs(curve, carry))))
 
-        # 6) global run-end mask in sorted order
-        nxt = jnp.concatenate([skey[1:], jnp.full((1,), nbuck, U32)])
-        is_end = skey != nxt                                # [N]
-
-        # 7) scatter run-end sums into buckets (point-major rows); leading-run
-        # ends overwrite with their carry-fixed values
-        scanned_major = jnp.moveaxis(scanned.reshape(C, 3 * n, L),
-                                     0, -1).reshape(3 * n, N)
-        scanned_major = jax.lax.optimization_barrier(
-            jnp.moveaxis(scanned_major, 0, -1))             # [N, 3n]
-        idx_plain = jnp.where(is_end, skey, np.uint32(nbuck)).astype(jnp.int32)
-        buckets_m = jnp.broadcast_to(ident_row[None], (nbuck, 3 * n))
-        buckets_m = buckets_m.at[idx_plain].set(scanned_major, mode="drop")
-        g_idx = lane_idx * C + lead_end
-        lead_is_end = jnp.take(is_end, g_idx)
-        idx_fix = jnp.where(lead_is_end, first_key,
-                            np.uint32(nbuck)).astype(jnp.int32)
-        fixed_major = jnp.moveaxis(fixed.reshape(3 * n, L), 0, -1)  # [L, 3n]
-        buckets_m = buckets_m.at[idx_fix].set(fixed_major, mode="drop")
-        buckets = jnp.moveaxis(buckets_m, 0, -1).reshape(3, n, nbuck)
+        # 6+7) per-bucket run-end LOOKUP: binary-search the sorted keys for
+        # each bucket's last occurrence and gather its prefix sum — nbuck-row
+        # gathers instead of the former N-row scatter (which serialized, and
+        # whose [N, 3n] transposed source cost ~500MB of traffic per window).
+        # A run that reaches its lane's start spans lanes; its complete sum
+        # is the carry-fixed lane total from step 4+5.
+        bids = jnp.arange(nbuck, dtype=U32)
+        bidx = jnp.searchsorted(skey, bids, side="right").astype(jnp.int32) - 1
+        safe = jnp.maximum(bidx, 0)                         # [nbuck]
+        have = (bidx >= 0) & (jnp.take(skey, safe) == bids)
+        lane = safe // C
+        pos = safe % C
+        # contiguous-row gathers only (a 2-D [pos, .., lane] fancy-index is a
+        # minor-axis gather, ~2x slower measured): one materialized transpose
+        # of `scanned` to (pos, lane)-major rows, then flat row lookups
+        scn_rows = jax.lax.optimization_barrier(
+            jnp.moveaxis(scanned.reshape(C, 3 * n, L), -1, 1)
+            .reshape(C * L, 3 * n))
+        end_vals = jnp.take(scn_rows, pos * L + lane,
+                            axis=0).reshape(nbuck, 3, n)
+        spans = jnp.take(first_key, lane) == bids
+        span_vals = jnp.take(jnp.moveaxis(fixed.reshape(3 * n, L), -1, 0),
+                             lane, axis=0).reshape(nbuck, 3, n)
+        ident_b = jnp.broadcast_to(ident1[None], (nbuck, 3, n))
+        m_have = have[:, None, None]
+        m_span = spans[:, None, None]
+        bucket_vals = jnp.where(m_have & m_span, span_vals,
+                                jnp.where(m_have, end_vals, ident_b))
+        buckets = jnp.moveaxis(bucket_vals, 0, -1)          # [3, n, nbuck]
 
         # 8) weighted bucket sum: sum_b b*S_b = sum_{b>=1} suffix_b
         if use_full:
@@ -446,6 +463,36 @@ def msm_sharded(curve: CurveSpec, mesh: Mesh, axis, xs_l, ys_l, inf_mask,
     return fn(xs_l, ys_l, inf_mask, k_l)
 
 
+@functools.lru_cache(maxsize=None)
+def _msm_jit(curve: CurveSpec, mesh, axis, terms, scalar_bits, method, w,
+             lanes, seg_unroll, hs_unroll):
+    """Memoized jitted MSM kernel — `msm()` is a host entry called per
+    aggregation; rebuilding the lambda each call would re-jit (and on
+    XLA:CPU this program compiles in minutes, not seconds)."""
+    if mesh is None:
+        if method == "pippenger":
+            kern = functools.partial(msm_pippenger, w=w, lanes=lanes,
+                                     scalar_bits=scalar_bits,
+                                     seg_unroll=seg_unroll,
+                                     hs_unroll=hs_unroll)
+        else:
+            kern = functools.partial(msm_local, terms=terms,
+                                     scalar_bits=scalar_bits)
+        return jax.jit(
+            lambda a, b, c, d: P.point_limbs(
+                kern(curve, F.fe_steady(curve.field, a),
+                     F.fe_steady(curve.field, b), c, d)))
+    return jax.jit(functools.partial(
+        msm_sharded, curve, mesh, axis, terms=terms,
+        scalar_bits=scalar_bits, method=method, w=w, lanes=lanes,
+        seg_unroll=seg_unroll, hs_unroll=hs_unroll))
+
+
+@functools.lru_cache(maxsize=None)
+def _to_affine_jit():
+    return jax.jit(P.to_affine)
+
+
 def msm(curve: CurveSpec, points, scalars, mesh: Mesh | None = None,
         axis: str = "dp", terms: int = 8, scalar_bits=None,
         method: str = "auto", w: int = 13, lanes: int = 8192,
@@ -483,29 +530,13 @@ def msm(curve: CurveSpec, points, scalars, mesh: Mesh | None = None,
     k_l = SM.pack_scalars(curve, ks)
     inf_j = jnp.asarray(inf)
 
-    if mesh is None:
-        if method == "pippenger":
-            kern = functools.partial(msm_pippenger, w=w, lanes=lanes,
-                                     scalar_bits=scalar_bits,
-                                     seg_unroll=seg_unroll,
-                                     hs_unroll=hs_unroll)
-        else:
-            kern = functools.partial(msm_local, terms=terms,
-                                     scalar_bits=scalar_bits)
-        out = jax.jit(
-            lambda a, b, c, d: P.point_limbs(
-                kern(curve, F.fe_steady(curve.field, a),
-                     F.fe_steady(curve.field, b), c, d))
-        )(xs_l, ys_l, inf_j, k_l)
-    else:
-        out = jax.jit(functools.partial(
-            msm_sharded, curve, mesh, axis, terms=terms,
-            scalar_bits=scalar_bits, method=method, w=w, lanes=lanes,
-            seg_unroll=seg_unroll, hs_unroll=hs_unroll)
-        )(xs_l, ys_l, inf_j, k_l)
+    axis_t = (axis,) if isinstance(axis, str) else tuple(axis)
+    out = _msm_jit(curve, mesh, axis_t if mesh is not None else None, terms,
+                   scalar_bits, method, w, lanes, seg_unroll,
+                   hs_unroll)(xs_l, ys_l, inf_j, k_l)
 
     pt = P.point_from_limbs(curve, out)
-    x, y, is_inf = jax.jit(P.to_affine)(pt)
+    x, y, is_inf = _to_affine_jit()(pt)
     if bool(np.asarray(is_inf)):
         return None
     return F.fe_to_ints(x)[0], F.fe_to_ints(y)[0]

@@ -31,7 +31,7 @@ def _fetch_tiny(arr):
     return np.asarray(flat[:1])
 
 
-def time_fn(fn, *args, iters: int = 16, chain=None, block=None):
+def time_fn(fn, *args, iters: int = 16, chain=None, block=None, reps: int = 3):
     """Per-call wall time of a jitted callable via chain-length differencing.
 
     Times a short and a long dependency-chained loop (each iteration's first
@@ -39,7 +39,13 @@ def time_fn(fn, *args, iters: int = 16, chain=None, block=None):
     device fetch) and divides the extra time by the extra calls — fetch
     latency and dispatch ramp cancel in the difference. `chain(out, args) ->
     args` builds the next call's arguments; the default feeds the output back
-    as the first argument. `block` extracts the array to fetch."""
+    as the first argument. `block` extracts the array to fetch.
+
+    Stall robustness: co-tenant stalls and tunnel jitter only ever ADD time,
+    but they can land in EITHER window — a stalled short window makes the
+    pairwise difference negative (round-2's best-of-2 pairs then *inflated*
+    the rate to nonsense). Taking min() over each window's reps separately
+    recovers the unstalled time for both before differencing."""
     if chain is None:
         chain = lambda out, a: (out,) + tuple(a[1:])  # noqa: E731
     out = fn(*args)
@@ -56,9 +62,10 @@ def time_fn(fn, *args, iters: int = 16, chain=None, block=None):
         return time.perf_counter() - t0, args
 
     c1 = max(iters // 4, 1)
-    best = float("inf")
-    for _ in range(2):  # best-of: co-tenant stalls only ever add time
+    t1s, t2s = [], []
+    for _ in range(max(reps, 1)):
         t1, args = run(c1, args)
         t2, args = run(c1 + iters, args)
-        best = min(best, max(t2 - t1, 1e-9) / iters)
-    return best
+        t1s.append(t1)
+        t2s.append(t2)
+    return max(min(t2s) - min(t1s), 1e-9) / iters
