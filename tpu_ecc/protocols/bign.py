@@ -22,6 +22,7 @@ import dataclasses
 import functools
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..curves.specs import CurveSpec, get_curve
@@ -110,7 +111,9 @@ def _lincomb_core(curve: CurveSpec):
         G = P.generator(curve, qx.batch_shape)
         R = SM.lincomb([(G, a_raw), (Q, b_raw)])
         x, _, inf = P.to_affine(R)
-        return F.fto_raw_canonical(x), inf
+        # one packed output = one D2H fetch (~30ms/round-trip tunnel)
+        return jnp.concatenate(
+            [F.fe_to_words(x), inf.astype(jnp.uint32)[None]], axis=0)
 
     return core
 
@@ -156,10 +159,11 @@ def verify_batch(curve: CurveSpec, pub_pts, msgs, sigs):
     f = curve.field
     qx = F.fe_from_ints(f, [p_[0] for p_ in pub_pts])
     qy = F.fe_from_ints(f, [p_[1] for p_ in pub_pts])
-    xr, inf = _lincomb_core(curve)(
-        qx, qy, SM.pack_scalars(curve, a_l), SM.pack_scalars(curve, b_l))
-    xs = limbs_np_to_ints(np.asarray(jax.device_get(xr)), f.limb_bits)
-    inf = np.asarray(inf)
+    packed = np.asarray(_lincomb_core(curve)(
+        qx, qy, SM.pack_scalars(curve, a_l), SM.pack_scalars(curve, b_l)))
+    nwf = (f.bits + 31) // 32
+    xs = F.ints_from_words(packed[:nwf])
+    inf = packed[nwf]
     out = []
     for ok, x, is_inf, H, s0 in zip(pre_ok, xs, inf, hs, s0s):
         if not ok or is_inf:

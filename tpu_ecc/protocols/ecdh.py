@@ -29,7 +29,10 @@ def _dh_core(curve: CurveSpec):
         Q = P.from_affine(curve, qx, qy)
         S = SM.scalar_mul(Q, d_raw)
         x, _, inf = P.to_affine(S)
-        return F.fto_raw_canonical(x), inf
+        # one packed output = one D2H fetch (~30ms/round-trip tunnel)
+        import jax.numpy as jnp
+        return jnp.concatenate(
+            [F.fe_to_words(x), inf.astype(jnp.uint32)[None]], axis=0)
 
     return core
 
@@ -39,11 +42,10 @@ def diffie_hellman_batch(curve: CurveSpec, d_ints, peer_pts):
     qx = F.fe_from_ints(curve.field, [q[0] for q in peer_pts])
     qy = F.fe_from_ints(curve.field, [q[1] for q in peer_pts])
     d_raw = SM.pack_scalars(curve, d_ints)
-    xs, inf = _dh_core(curve)(qx, qy, d_raw)
-    assert not np.asarray(inf).any(), "ECDH with identity result"
-    from ..utils.bigint import limbs_np_to_ints
-    return limbs_np_to_ints(np.asarray(jax.device_get(xs)),
-                            curve.field.limb_bits)
+    packed = np.asarray(_dh_core(curve)(qx, qy, d_raw))  # ONE D2H fetch
+    nwf = (curve.field.bits + 31) // 32
+    assert not packed[nwf].any(), "ECDH with identity result"
+    return F.ints_from_words(packed[:nwf])
 
 
 @dataclasses.dataclass

@@ -31,6 +31,7 @@ from ..encoding import der, sec1
 from ..utils import ec_host
 from ..utils.bigint import be_bytes_to_int
 from ..ops import fe as F
+from ..ops.fe import U32
 from ..ops import points as P
 from ..ops import scalarmul as SM
 from . import rfc6979
@@ -62,7 +63,7 @@ def digest_to_z(curve: CurveSpec, digest: bytes) -> int:
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _sign_core(curve: CurveSpec):
+def _sign_core(curve: CurveSpec, low_s: bool):
     from ..utils.bigint import int_to_limbs
 
     s = curve.scalar
@@ -72,8 +73,11 @@ def _sign_core(curve: CurveSpec):
     @jax.jit
     def core(k_w, z_w, d_w):
         """Packed-word IO (the host<->device link is the bottleneck; see
-        PERF.md): inputs/outputs are 32-bit word arrays, all unpacking,
-        Montgomery encoding and scalar algebra happen on device."""
+        PERF.md): inputs are 32-bit word arrays; the output is ONE uint32
+        buffer [2*nww + 2, B] = r words | s words | recid | bad — every
+        separate device->host fetch costs a full ~30ms tunnel round trip,
+        and the former 7-output core paid it 7 times per batch. Low-s
+        normalization + RecoveryId fold on device (k256 ecdsa.rs:192-197)."""
         k_raw = F.relimb(k_w, 32, s.limb_bits, s.n_limbs)
         k_mont = F.fe_from_words(s, k_w, sbits)
         z_mont = F.fe_from_words(s, z_w, sbits)
@@ -89,16 +93,21 @@ def _sign_core(curve: CurveSpec):
         kinv = F.finv(k_mont)
         sig = F.fmul(kinv, z_mont + F.fmul(r_mont, d_mont))
         sig_raw = F.fto_raw_canonical(sig)
-        # low-s data (IsHigh + normalize_s, cf. k256 ecdsa.rs:192-197)
+        # low-s normalization (IsHigh + negate, cf. k256 ecdsa.rs:192-197)
         half = int_to_limbs(s.p // 2 + 1, s.n_limbs, s.limb_bits)
         _, s_high = F._cond_sub(s, sig_raw, half)
         neg = F.fcanonical(F.fneg(F.FE(sig_raw, s, s.mask, s.p - 1))).limbs
+        flip = jnp.logical_and(s_high, low_s)
+        sig_out = jnp.where(flip, neg, sig_raw)
+        recid = ((y_odd ^ flip).astype(U32)
+                 | (r_overflow.astype(U32) << np.uint32(1)))
         r_zero = jnp.all(r_raw == 0, axis=0)
         s_zero = jnp.all(sig_raw == 0, axis=0)
         nww = (sbits + 31) // 32
         pack = lambda limbs: F.relimb(limbs, s.limb_bits, 32, nww)  # noqa: E731
-        return (pack(r_raw), pack(sig_raw), pack(neg), s_high, y_odd,
-                r_overflow, r_zero | s_zero)
+        return jnp.concatenate([
+            pack(r_raw), pack(sig_out), recid[None],
+            (r_zero | s_zero).astype(U32)[None]], axis=0)
 
     return core
 
@@ -174,26 +183,15 @@ def sign_batch(curve: CurveSpec, d_ints, z_ints, k_ints=None, hashname=None,
             n, d_ints, [int(z).to_bytes(nb, "big") for z in z_ints], hashname)
     s = curve.scalar
     w = lambda vals: jnp.asarray(F.words_from_ints(vals, s.bits))  # noqa: E731
-    core = _sign_core(curve)
-    r_w, s_w, neg_w, s_high, y_odd, r_ovf, bad = core(
-        w(k_ints), w([z % n for z in z_ints]), w(d_ints))
-    rs = F.ints_from_words(r_w)
-    ss = F.ints_from_words(s_w)
-    sn = F.ints_from_words(neg_w)
-    s_high = np.asarray(s_high)
-    y_odd = np.asarray(y_odd)
-    r_ovf = np.asarray(r_ovf)
-    assert not np.asarray(bad).any(), "r or s is zero (re-sign with fresh k)"
-    out = []
-    for i in range(len(rs)):
-        r_i, s_i = rs[i], ss[i]
-        y_o = bool(y_odd[i])
-        if low_s and s_high[i]:
-            s_i = sn[i]
-            y_o = not y_o
-        recid = int(y_o) | (int(bool(r_ovf[i])) << 1)
-        out.append((r_i, s_i, recid))
-    return out
+    core = _sign_core(curve, bool(low_s))
+    packed = np.asarray(core(                       # ONE ~30ms D2H fetch
+        w(k_ints), w([z % n for z in z_ints]), w(d_ints)))
+    nww = (s.bits + 31) // 32
+    rs = F.ints_from_words(packed[:nww])
+    ss = F.ints_from_words(packed[nww:2 * nww])
+    recid = packed[2 * nww]
+    assert not packed[2 * nww + 1].any(), "r or s is zero (re-sign with fresh k)"
+    return [(r_i, s_i, int(rc)) for r_i, s_i, rc in zip(rs, ss, recid)]
 
 
 def verify_batch(curve: CurveSpec, pub_pts, z_ints, sigs, low_s=None):
@@ -274,7 +272,10 @@ def _recover_core(curve: CurveSpec):
         Q = SM.lincomb_auto([(G, u1), (Rp, u2)])
         qx, qy, inf = P.to_affine(Q)
         ok = jnp.logical_and(is_sq, jnp.logical_not(inf))
-        return F.fe_to_words(qx), F.fe_to_words(qy), ok
+        # one packed output = one D2H fetch (~30ms/round-trip tunnel)
+        return jnp.concatenate(
+            [F.fe_to_words(qx), F.fe_to_words(qy), ok.astype(U32)[None]],
+            axis=0)
 
     return core
 
@@ -303,10 +304,11 @@ def recover_batch(curve: CurveSpec, z_ints, sigs):
         F.words_from_ints(sl, s.bits),
         np.array(odd, np.uint32)[None],
     ], axis=0)
-    qx_w, qy_w, ok = _recover_core(curve)(jnp.asarray(buf))
-    qxs = F.ints_from_words(qx_w)
-    qys = F.ints_from_words(qy_w)
-    ok = np.asarray(ok)
+    packed = np.asarray(_recover_core(curve)(jnp.asarray(buf)))
+    nwf = (f.bits + 31) // 32
+    qxs = F.ints_from_words(packed[:nwf])
+    qys = F.ints_from_words(packed[nwf:2 * nwf])
+    ok = packed[2 * nwf]
     return [(qx, qy) if (pok and bool(o)) else None
             for qx, qy, pok, o in zip(qxs, qys, pre_ok, ok)]
 

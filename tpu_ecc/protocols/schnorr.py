@@ -42,15 +42,19 @@ def lift_x(curve: CurveSpec, x: int):
 
 @functools.lru_cache(maxsize=None)
 def _sign_core(curve: CurveSpec):
+    nwf = (curve.field.bits + 31) // 32
+
     @jax.jit
     def core(k_raw):
         R = SM.mul_by_generator(curve, k_raw)
         x, y, _ = P.to_affine(R)
-        xr = F.fto_raw_canonical(x)
+        xw = F.fe_to_words(x)
         yr = F.fto_raw_canonical(y)
-        return xr, (yr[0] & np.uint32(1)) == 1
+        y_odd = yr[0] & np.uint32(1)
+        # one packed output = one D2H fetch (~30ms/round-trip tunnel)
+        return jnp.concatenate([xw, y_odd[None]], axis=0)
 
-    return core
+    return core, nwf
 
 
 @functools.lru_cache(maxsize=None)
@@ -97,13 +101,15 @@ def _verify_core(curve: CurveSpec):
 
 @functools.lru_cache(maxsize=None)
 def _pubkey_core(curve: CurveSpec):
-    """Batched x-only public keys: d -> (x(dG) words, y-parity)."""
+    """Batched x-only public keys: d -> x(dG) words | y-parity (one buffer
+    = one D2H fetch)."""
     @jax.jit
     def core(d_raw):
         Pt = SM.mul_by_generator(curve, d_raw)
         x, y, _ = P.to_affine(Pt)
         yr = F.fto_raw_canonical(y)
-        return F.fe_to_words(x), (yr[0] & np.uint32(1)) == 1
+        return jnp.concatenate(
+            [F.fe_to_words(x), (yr[0] & np.uint32(1))[None]], axis=0)
 
     return core
 
@@ -115,9 +121,10 @@ def sign_batch(curve: CurveSpec, d_ints, msgs, aux_rands):
     mul_by_generator call, then (after the host nonce hashing, which needs
     the x bytes) R = kG in another."""
     n, fb = curve.n, curve.field_bytes
-    px_w, py_odd = _pubkey_core(curve)(SM.pack_scalars(curve, d_ints))
-    px_ints = F.ints_from_words(px_w)
-    py_odd = np.asarray(py_odd)
+    pk = np.asarray(_pubkey_core(curve)(SM.pack_scalars(curve, d_ints)))
+    nwf = (curve.field.bits + 31) // 32
+    px_ints = F.ints_from_words(pk[:nwf])
+    py_odd = pk[nwf]
     d_adj, pxs, ks = [], [], []
     for i, (d, msg, aux) in enumerate(zip(d_ints, msgs, aux_rands)):
         dd = n - d if py_odd[i] else d
@@ -132,10 +139,10 @@ def sign_batch(curve: CurveSpec, d_ints, msgs, aux_rands):
         ks.append(k)
     # R = k*G batched on device; flip k for odd-y R
     k_raw = SM.pack_scalars(curve, ks)
-    rx_l, y_odd = _sign_core(curve)(k_raw)
-    rxs = limbs_np_to_ints(np.asarray(jax.device_get(rx_l)),
-                           curve.field.limb_bits)
-    y_odd = np.asarray(y_odd)
+    core, nwf = _sign_core(curve)
+    packed = np.asarray(core(k_raw))            # ONE D2H fetch
+    rxs = F.ints_from_words(packed[:nwf])
+    y_odd = packed[nwf]
     sigs = []
     es, kk = [], []
     for i, (dd, px, k) in enumerate(zip(d_adj, pxs, ks)):

@@ -70,7 +70,12 @@ def _sign_core(curve: CurveSpec):
         s_zero = jnp.all(s_raw == 0, axis=0)
         # r + k == n check (A5): r + k == 0 mod n
         rk_zero = jnp.all(F.fto_raw_canonical(r + k_mont) == 0, axis=0)
-        return r_raw, s_raw, r_zero | s_zero | rk_zero
+        nww = (s.bits + 31) // 32
+        pack = lambda l: F.relimb(l, s.limb_bits, 32, nww)  # noqa: E731
+        # one packed output = one D2H fetch (~30ms/round-trip tunnel)
+        return jnp.concatenate(
+            [pack(r_raw), pack(s_raw),
+             (r_zero | s_zero | rk_zero).astype(jnp.uint32)[None]], axis=0)
 
     return core
 
@@ -106,12 +111,13 @@ def sign_batch(curve: CurveSpec, d_ints, e_ints, k_ints=None):
             for d, e in zip(d_ints, e_ints)
         ]
     core = _sign_core(curve)
-    r_raw, s_raw, bad = core(
+    packed = np.asarray(core(                     # ONE D2H fetch
         SM.pack_scalars(curve, k_ints), F.fe_from_ints(s, k_ints),
-        F.fe_from_ints(s, [e % n for e in e_ints]), F.fe_from_ints(s, d_ints))
-    assert not np.asarray(bad).any(), "degenerate SM2 signature; retry with new k"
-    rs = limbs_np_to_ints(np.asarray(jax.device_get(r_raw)), s.limb_bits)
-    ss = limbs_np_to_ints(np.asarray(jax.device_get(s_raw)), s.limb_bits)
+        F.fe_from_ints(s, [e % n for e in e_ints]), F.fe_from_ints(s, d_ints)))
+    nww = (s.bits + 31) // 32
+    assert not packed[2 * nww].any(), "degenerate SM2 signature; retry with new k"
+    rs = F.ints_from_words(packed[:nww])
+    ss = F.ints_from_words(packed[nww:2 * nww])
     return list(zip(rs, ss))
 
 
