@@ -234,16 +234,23 @@ def bench_ecdsa(name, B=4096, iters=3):
     sigs = ecdsa.sign_batch(c, [sk.d] * B, zs)        # warmup + compile
     rs = [(r, s) for (r, s, _) in sigs]
     assert all(ecdsa.verify_batch(c, [vk.point] * B, zs, rs))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        ecdsa.sign_batch(c, [sk.d] * B, zs)
-    t = (time.perf_counter() - t0) / iters
+
+    def best_of(fn):
+        # min over iters: co-tenant stalls on the shared pool only ever ADD
+        # time to a synchronous e2e call (PERF.md methodology)
+        best = float("inf")
+        for _ in range(max(iters, 4)):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t = best_of(lambda: ecdsa.sign_batch(c, [sk.d] * B, zs))
     record("ecdsa_sign_e2e", name, B, t, B / t, "sigs/s")
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        ecdsa.verify_batch(c, [vk.point] * B, zs, rs)
-    t = (time.perf_counter() - t0) / iters
+    t = best_of(lambda: ecdsa.verify_batch(c, [vk.point] * B, zs, rs))
     record("ecdsa_verify_e2e", name, B, t, B / t, "verifies/s")
+    t = best_of(lambda: ecdsa.recover_batch(c, zs, sigs))
+    record("ecdsa_recover_e2e", name, B, t, B / t, "recovers/s")
 
 
 def bench_msm(curve, log_n=20, w=13, lanes=8192, iters=3, kernels=None,
@@ -307,9 +314,11 @@ def main():
     adds_per_sec = headline(k256, B=B)
 
     if full:
-        for name in ("secp256k1", "p256", "p384"):
+        # criterion-parity curve set: the reference ships benches for
+        # k256/p256/p384/bign256 ({k256,p256,p384,bign256}/benches/)
+        for name in ("secp256k1", "p256", "p384", "bign256"):
             bench_field(get_curve(name))
-        for name in ("secp256k1", "p256", "p384"):
+        for name in ("secp256k1", "p256", "p384", "bign256"):
             bench_scalarmul(get_curve(name))
         for name in ("secp256k1", "p256", "p384"):
             bench_ecdsa(name)

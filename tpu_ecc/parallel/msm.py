@@ -133,8 +133,20 @@ def _lincomb_terms(curve: CurveSpec, pts: Point, k_limbs, terms: int,
     """lincomb over the `terms` axis with lanes batch: pts batch [T, B],
     k_limbs [ns, T, B] -> Point batch [B]. One stacked table build (a single
     scan over the whole [T, B] batch) + a window scan whose body folds the T
-    term lookups with a log2(T) tree."""
+    term lookups with a log2(T) tree.
+
+    On TPU the group routes through scalarmul.lincomb_auto instead — the
+    fused signed-digit ladder kernel (+ GLV split on k256), the same engine
+    as the protocol verify cores. The stacked-table scan below stays the
+    portable path: its jaxpr holds ONE table build regardless of T, which
+    is what keeps the XLA:CPU test/dryrun compiles tractable."""
     assert terms & (terms - 1) == 0, "terms must be a power of two"
+    B = pts.batch_shape[-1]
+    if SM._ladder_kernel_ok(curve, (B,), terms):
+        pl = P.point_limbs(pts)                        # [3, n, T, B]
+        tlist = [(P.point_from_limbs(curve, pl[:, :, t]), k_limbs[:, t])
+                 for t in range(terms)]
+        return SM.lincomb_auto(tlist, scalar_bits)
     tbl = SM._point_table(pts)                         # [16, 3, n, T, B]
     digss = SM.window_digits(curve, k_limbs, scalar_bits)   # [nw, T, B]
 
