@@ -171,3 +171,45 @@ def test_msm_kernels_bitequal(rng):
     for p_, k_ in zip(pts, ks):
         acc = H.aff_add(c, acc, H.aff_mul(c, k_, p_))
     assert not infs[0] and (xs[0], ys[0]) == acc
+
+
+def test_msm_straus_kernel_bitequal(rng):
+    """The Straus (secret-scalar) MSM path routed through the fused ladder
+    kernels (msm._lincomb_terms -> scalarmul.lincomb_auto, GLV on k256) vs
+    the XLA stacked-table path, bitwise, plus host oracle."""
+    from tpu_ecc.parallel import msm as M
+
+    c = get_curve("secp256k1")
+    f = c.field
+    N, T = 2048, 2                # lanes = N/T = 1024 (kernel block)
+    G = H.aff_generator(c)
+    base = [H.aff_mul(c, rng.randrange(1, c.n), G) for _ in range(8)]
+    pts = [base[i % 8] for i in range(N)]
+    ks = [rng.randrange(0, c.n) for _ in range(N)]
+    xs_l = F.fe_from_ints(f, [p[0] for p in pts]).limbs
+    ys_l = F.fe_from_ints(f, [p[1] for p in pts]).limbs
+    inf = jnp.zeros((N,), bool)
+    k_l = SM.pack_scalars(c, ks)
+
+    def run(kernels_on):
+        old = os.environ.get("TPU_ECC_KERNELS")
+        os.environ["TPU_ECC_KERNELS"] = "1" if kernels_on else "0"
+        try:
+            return np.asarray(jax.jit(
+                lambda a, b, i, d: P.point_limbs(M.msm_local(
+                    c, F.fe_steady(f, a), F.fe_steady(f, b), i, d, terms=T))
+            )(xs_l, ys_l, inf, k_l))
+        finally:
+            if old is None:
+                os.environ.pop("TPU_ECC_KERNELS", None)
+            else:
+                os.environ["TPU_ECC_KERNELS"] = old
+
+    got = run(True)
+    want = run(False)
+    assert np.array_equal(got, want), "kernel Straus MSM != XLA Straus MSM"
+    xs, ys, infs = _affine(c, got)
+    acc = None
+    for p_, k_ in zip(pts, ks):
+        acc = H.aff_add(c, acc, H.aff_mul(c, k_, p_))
+    assert not infs[0] and (xs[0], ys[0]) == acc
