@@ -779,12 +779,29 @@ def _steady(x: FE) -> FE:
     return FE(x.limbs, s, s.mask, s.carried_vmax)
 
 
+def _fpow_kernel_ok(spec: FieldSpec, batch_shape, e: int) -> bool:
+    """Route big fixed-exponent chains (Fermat inversion, sqrt exponents)
+    through the fused Mosaic pow kernel (pallas_kernels.pow_call); small
+    exponents and non-TPU/odd-shaped batches keep the XLA scan below (which
+    is also the CPU oracle the kernel is asserted bit-equal against)."""
+    import os
+
+    if os.environ.get("TPU_ECC_KERNELS", "1") == "0":
+        return False
+    if e.bit_length() < 64 or spec.kind not in ("solinas", "mont"):
+        return False
+    if len(batch_shape) != 1 or batch_shape[0] % 128 != 0:
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def fpow_const(x: FE, e: int) -> FE:
     """x^e for a fixed host exponent: 4-bit fixed-window over a scan.
 
     The window-table select is a masked sum (constant-time by construction); the
     scans keep the jaxpr small — the TPU analogue of the reference's unrolled
-    addition chains (k256 field.rs:187-216).
+    addition chains (k256 field.rs:187-216). Big chains on TPU run as one
+    fused Mosaic kernel (pallas_kernels.pow_call) instead.
     """
     s = x.spec
     if e == 0:
@@ -792,6 +809,12 @@ def fpow_const(x: FE, e: int) -> FE:
     if e == 1:
         return x
     x = _steady(x)
+    if _fpow_kernel_ok(s, x.batch_shape, e):
+        from . import pallas_kernels as PK
+
+        limbs = jnp.broadcast_to(x.limbs, (s.n_limbs, x.batch_shape[0]))
+        out = PK.pow_call(s, e, x.batch_shape[0])(limbs)
+        return FE(out, s, s.mask, s.carried_vmax)
     x_l = jnp.broadcast_to(x.limbs, x.limbs.shape)
     one_l = jnp.broadcast_to(fone(s, x.batch_shape).limbs, x.limbs.shape)
 

@@ -1091,6 +1091,104 @@ def genmul_call(curve: CurveSpec, nw: int, B: int, block: int = 1024,
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def pow_call(spec, e: int, B: int, block: int = 1024,
+             interpret: bool = False):
+    """Fused fixed-exponent power x^e — fe.fpow_const's 4-bit-window chain
+    (Fermat inversion x^(p-2), sqrt exponent chains — cf. the reference's
+    unrolled addition chains, k256/src/arithmetic/field.rs:187-216) as ONE
+    kernel.
+
+    Grid step ci = one exponent window: acc <- acc^16 * tbl[digit]. The
+    15-entry table [x .. x^15] lives in VMEM scratch (built once per lane
+    block with 14 kmuls); the public exponent digits stream through SMEM,
+    MSB first, so the per-step select is a scalar-predicated masked copy
+    (the exponent is a host constant — no secret-dependent control flow to
+    protect). The accumulator rides VMEM scratch across the sequential
+    window grid dimension, so the ~(4*ndig) squarings + ndig muls never
+    spill limbs to HBM — the XLA fpow_const path pays an HBM round trip
+    per scan step and dominated the ECDSA sign/verify device cores.
+
+    jitted (x uint32[n, B] steady limbs) -> uint32[n, B] steady limbs.
+    Works for any solinas/mont FieldSpec (base and scalar fields).
+    """
+    assert spec.kind in ("solinas", "mont")
+    n = spec.n_limbs
+    assert B % 128 == 0 and e >= 2
+    block = min(block, B)
+    S = block // 128
+    rows = B // 128
+    assert rows % S == 0
+    GL = rows // S
+    ndig = -(-e.bit_length() // 4)
+    digits = np.array([(e >> (4 * i)) & 15 for i in range(ndig)][::-1],
+                      np.uint32)
+
+    def body(x_ref, dig_ref, o_ref, tbl_ref, acc_ref):
+        ci = pl.program_id(1)
+
+        @pl.when(ci == 0)
+        def _init():
+            x = K.kfe_from_rows(spec, [x_ref[i, :, :] for i in range(n)])
+            cur = x
+            for i, r in enumerate(cur.limbs):
+                tbl_ref[i] = r
+            for k in range(2, 16):          # tbl[k-1] = x^k
+                cur = K.ksteady(K.kmul(cur, x))
+                for i, r in enumerate(cur.limbs):
+                    tbl_ref[(k - 1) * n + i] = r
+            one = K.kfe_const(spec, 1, (S, 128))
+            for i in range(n):
+                acc_ref[i] = jnp.broadcast_to(one.limbs[i], (S, 128))
+
+        acc = K.kfe_from_rows(spec, [acc_ref[i] for i in range(n)])
+        for _ in range(4):
+            acc = K.ksteady(K.ksquare(acc))
+        dig = dig_ref[0, 0, 0]
+        zero = jnp.zeros((S, 128), jnp.uint32)
+        sel = [zero] * n
+        for k in range(1, 16):
+            m = dig == np.uint32(k)
+            sel = [jnp.where(m, tbl_ref[(k - 1) * n + i], sv)
+                   for i, sv in enumerate(sel)]
+        term = K.kfe_from_rows(spec, sel)
+        new = K.ksteady(K.kmul(acc, term))
+        keep = dig == 0                     # x^(16a+0) = (x^a)^16: skip mul
+        for i in range(n):
+            acc_ref[i] = jnp.where(keep, acc.limbs[i], new.limbs[i])
+
+        @pl.when(ci == ndig - 1)
+        def _fin():
+            for i in range(n):
+                o_ref[i, :, :] = acc_ref[i]
+
+    xv = pl.BlockSpec((n, S, 128), lambda l, c: (0, l, 0),
+                      memory_space=pltpu.VMEM)
+    dv = pl.BlockSpec((1, 1, 1), lambda l, c: (c, 0, 0),
+                      memory_space=pltpu.SMEM)
+    ov = pl.BlockSpec((n, S, 128), lambda l, c: (0, l, 0),
+                      memory_space=pltpu.VMEM)
+    # plain numpy: pow_call is lru-cached, and a jnp constant materialized
+    # inside one jit trace would leak into the next trace that hits the cache
+    dig2 = digits.reshape(ndig, 1, 1)
+
+    def run(x):
+        x3 = x.reshape(n, rows, 128)
+        out = pl.pallas_call(
+            body,
+            out_shape=jax.ShapeDtypeStruct((n, rows, 128), jnp.uint32),
+            grid=(GL, ndig),
+            in_specs=[xv, dv],
+            out_specs=ov,
+            scratch_shapes=[pltpu.VMEM((15 * n, S, 128), jnp.uint32),
+                            pltpu.VMEM((n, S, 128), jnp.uint32)],
+            interpret=interpret,
+        )(x3, dig2)
+        return out.reshape(n, B)
+
+    return run
+
+
 def padd_pallas(a: P.Point, b: P.Point, block: int = 2048) -> P.Point:
     """Fused complete point addition as one Pallas kernel over the batch.
     Batch must be 1-D with size a multiple of `block` (multiple of 128)."""
