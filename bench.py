@@ -168,6 +168,47 @@ def bench_field(curve, B=8192, iters=32):
     record("field_square", curve.name, B, t, B / t, "squares/s")
     t = time_fn(wrap(F.finv), a_l, iters=4)
     record("field_invert", curve.name, B, t, B / t, "inverts/s")
+    # kernel-on/off A-B for the fused pow_call chain (VERDICT r3 item 1c):
+    # the row above runs the default (pow kernel on TPU); this one forces
+    # the XLA scan path for the same Fermat chain.
+    kern_env = os.environ.get("TPU_ECC_KERNELS")
+    os.environ["TPU_ECC_KERNELS"] = "0"
+    try:
+        t = time_fn(wrap(F.finv), a_l, iters=4)
+        record("field_invert_xla", curve.name, B, t, B / t, "inverts/s")
+    finally:
+        if kern_env is None:
+            os.environ.pop("TPU_ECC_KERNELS", None)
+        else:
+            os.environ["TPU_ECC_KERNELS"] = kern_env
+
+
+def bench_scalar_field(curve, B=8192, iters=32):
+    """Scalar-field (group order) op rows — the reference benches scalar ops
+    separately (k256/benches/scalar.rs:32-39): mul, invert, negate."""
+    import jax
+    from tpu_ecc.ops import fe as F
+    from tpu_ecc.utils.profiling import time_fn
+
+    s = curve.scalar
+    rng = np.random.default_rng(6)
+    vals = [int.from_bytes(rng.bytes(s.bits // 8), "big") % s.p
+            for _ in range(8)] * (B // 8)
+    a_l = F.fe_from_ints(s, vals).limbs
+    b_l = F.fe_from_ints(s, vals[::-1]).limbs
+
+    def wrap(op):
+        def fn(*ls):
+            fes = [F.fe_steady(s, l) for l in ls]
+            return F._steady(op(*fes)).limbs
+        return jax.jit(fn)
+
+    t = time_fn(wrap(F.fmul), a_l, b_l, iters=iters)
+    record("scalar_field_mul", curve.name, B, t, B / t, "muls/s")
+    t = time_fn(wrap(F.fneg), a_l, iters=iters)
+    record("scalar_negate", curve.name, B, t, B / t, "negs/s")
+    t = time_fn(wrap(F.finv), a_l, iters=4)
+    record("scalar_invert", curve.name, B, t, B / t, "inverts/s")
 
 
 def bench_scalarmul(curve, B=1024, iters=4):
@@ -218,10 +259,18 @@ def bench_scalarmul(curve, B=1024, iters=4):
     record("lincomb_2term", curve.name, B, t, B / t, "lincombs/s")
 
 
-def bench_ecdsa(name, B=4096, iters=3):
-    """End-to-end sign/verify: host prep (RFC 6979, word packing) + device
-    cores + D2H. On this dev box the host<->device tunnel dominates; the
-    device-core time is visible in the lincomb sub-bench."""
+def bench_ecdsa(name, B=8192, chunk=2048, iters=3):
+    """End-to-end sign/verify/recover: host prep (RFC 6979, word packing)
+    + chunk-pipelined device cores + D2H (protocols/ecdsa._run_pipelined).
+
+    Two methodologies per op:
+    - percall: one synchronous batch call — what a single caller sees
+      through this dev box's ~30ms tunnel (includes the full RTT).
+    - marginal (the headline row): size-differencing over the PIPELINED
+      shell — time a 1x-batch and a 3x-batch call and divide the extra
+      work by the extra time; the fixed tunnel RTT and dispatch ramp
+      cancel, leaving the service's steady-state throughput.
+    """
     import random
     from tpu_ecc.curves.specs import get_curve
     from tpu_ecc.protocols import ecdsa
@@ -230,31 +279,47 @@ def bench_ecdsa(name, B=4096, iters=3):
     sk = ecdsa.SigningKey.random(name, random.Random(5))
     vk = sk.verifying_key()
     rng = np.random.default_rng(3)
-    zs = [int.from_bytes(rng.bytes(32), "big") % c.n for _ in range(B)]
-    sigs = ecdsa.sign_batch(c, [sk.d] * B, zs)        # warmup + compile
+    B2 = 3 * B
+    zs = [int.from_bytes(rng.bytes(32), "big") % c.n for _ in range(B2)]
+    ds = [sk.d] * B2
+    pubs = [vk.point] * B2
+    sigs = ecdsa.sign_batch(c, ds, zs, chunk=chunk)   # warmup + compile
     rs = [(r, s) for (r, s, _) in sigs]
-    assert all(ecdsa.verify_batch(c, [vk.point] * B, zs, rs))
+    assert all(ecdsa.verify_batch(c, pubs[:B], zs[:B], rs[:B], chunk=chunk))
 
-    def best_of(fn):
+    def best_of(fn, b):
         # min over iters: co-tenant stalls on the shared pool only ever ADD
         # time to a synchronous e2e call (PERF.md methodology)
         best = float("inf")
         for _ in range(max(iters, 4)):
             t0 = time.perf_counter()
-            fn()
+            fn(b)
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t = best_of(lambda: ecdsa.sign_batch(c, [sk.d] * B, zs))
-    record("ecdsa_sign_e2e", name, B, t, B / t, "sigs/s")
-    t = best_of(lambda: ecdsa.verify_batch(c, [vk.point] * B, zs, rs))
-    record("ecdsa_verify_e2e", name, B, t, B / t, "verifies/s")
-    t = best_of(lambda: ecdsa.recover_batch(c, zs, sigs))
-    record("ecdsa_recover_e2e", name, B, t, B / t, "recovers/s")
+    def rates(fn):
+        t1 = best_of(fn, B)
+        t2 = best_of(fn, B2)
+        marg = (B2 - B) / (t2 - t1) if t2 > t1 else 0.0
+        return t1, marg
+
+    t, m = rates(lambda b: ecdsa.sign_batch(c, ds[:b], zs[:b], chunk=chunk))
+    record("ecdsa_sign_e2e_percall", name, B, t, B / t, "sigs/s")
+    record("ecdsa_sign_e2e", name, B, (B2 - B) / m if m else 0, m, "sigs/s")
+    t, m = rates(lambda b: ecdsa.verify_batch(c, pubs[:b], zs[:b], rs[:b],
+                                              chunk=chunk))
+    record("ecdsa_verify_e2e_percall", name, B, t, B / t, "verifies/s")
+    record("ecdsa_verify_e2e", name, B, (B2 - B) / m if m else 0, m,
+           "verifies/s")
+    t, m = rates(lambda b: ecdsa.recover_batch(c, zs[:b], sigs[:b],
+                                               chunk=chunk))
+    record("ecdsa_recover_e2e_percall", name, B, t, B / t, "recovers/s")
+    record("ecdsa_recover_e2e", name, B, (B2 - B) / m if m else 0, m,
+           "recovers/s")
 
 
 def bench_msm(curve, log_n=20, w=13, lanes=8192, iters=3, kernels=None,
-              tag=""):
+              tag="", signed=False):
     """Pippenger MSM at 2^log_n points (the BASELINE.md north-star shape)."""
     import jax
     import jax.numpy as jnp
@@ -284,7 +349,7 @@ def bench_msm(curve, log_n=20, w=13, lanes=8192, iters=3, kernels=None,
 
     kern = jax.jit(lambda a, b, c, d: P.point_limbs(M.msm_pippenger(
         curve, F.fe_steady(f, a), F.fe_steady(f, b), c, d, w=w, lanes=lanes,
-        kernels=kernels)))
+        kernels=kernels, signed=signed)))
     out = kern(xs_l, ys_l, inf, k_l)
     _fetch(out)
     # min over iters: co-tenant stalls on the shared-pool chip reach seconds;
@@ -318,6 +383,8 @@ def main():
         # k256/p256/p384/bign256 ({k256,p256,p384,bign256}/benches/)
         for name in ("secp256k1", "p256", "p384", "bign256"):
             bench_field(get_curve(name))
+        for name in ("secp256k1", "p256"):
+            bench_scalar_field(get_curve(name))
         for name in ("secp256k1", "p256", "p384", "bign256"):
             bench_scalarmul(get_curve(name))
         for name in ("secp256k1", "p256", "p384"):
@@ -325,6 +392,14 @@ def main():
         # fused kernels (segscan + grid-stepped fixup/bucket/horner) are the
         # TPU default since round 3; --msm-xla adds the graph-path row
         bench_msm(k256, log_n=20)
+        # signed-digit recoding (round-4 lever): halved buckets -> one more
+        # window bit at the same bucket budget -> fewer payload-gather passes
+        bench_msm(k256, log_n=20, w=14, tag="_signed_w14", signed=True)
+        if "--msm-w" in sys.argv:
+            bench_msm(k256, log_n=20, w=15, lanes=8192, tag="_signed_w15",
+                      signed=True)
+            bench_msm(k256, log_n=20, w=16, lanes=8192, tag="_signed_w16",
+                      signed=True)
         if "--msm-xla" in sys.argv:
             bench_msm(k256, log_n=20, kernels=False, tag="_xla")
         import jax

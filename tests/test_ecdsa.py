@@ -31,6 +31,40 @@ def test_rfc6979_p256():
     assert f"{s:064x}" == "019f4113742a2b14bd25926b49c649155f267e60d3814b4c0cc84250e46f0083"
 
 
+def _run_sign_vectors(name):
+    """The reference's per-crate ECDSA_TEST_VECTORS (<crate>/src/test_vectors/
+    ecdsa.rs; RFC 6979-derived for k256, FIPS 186-4 SigGen for the NIST
+    curves): sign_prehashed with the vector's fixed k must reproduce (r, s)
+    exactly, and the vector public key must verify it."""
+    c = get_curve(name)
+    vecs = json.load(open(os.path.join(VEC_DIR, f"ecdsa_{name}.json")))
+    ds = [int(v["d"], 16) for v in vecs]
+    ks = [int(v["k"], 16) for v in vecs]
+    # the vectors store m as the bits2field OUTPUT (field-width bytes; for
+    # p521 that's the SHA-512 digest left-padded to 66 bytes), so interpret
+    # it as an integer directly — digest_to_z's bits2int truncation is for
+    # raw digests longer than qlen
+    zs = [int(v["m"], 16) % c.n for v in vecs]
+    pubs = [(int(v["q_x"], 16), int(v["q_y"], 16)) for v in vecs]
+    want = [(int(v["r"], 16), int(v["s"], 16)) for v in vecs]
+    if name not in ecdsa.SIGN_UNSUPPORTED:
+        sigs = ecdsa.sign_batch(c, ds, zs, k_ints=ks, low_s=False)
+        assert [(r, s) for r, s, _ in sigs] == want, f"{name}: sign mismatch"
+    assert ecdsa.verify_batch(c, pubs, zs, want, low_s=False) == \
+        [True] * len(vecs)
+
+
+@pytest.mark.parametrize("name", ["secp256k1", "p256", "p384"])
+def test_ecdsa_sign_vectors(name):
+    _run_sign_vectors(name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["p192", "p224", "p521"])
+def test_ecdsa_sign_vectors_slow(name):
+    _run_sign_vectors(name)
+
+
 def test_rfc6979_k_generation():
     """RFC 6979 A.1.1 reference k for the sample q/x (sanity of the DRBG)."""
     from tpu_ecc.protocols import rfc6979
@@ -144,9 +178,9 @@ def _run_wycheproof(name, batch=64):
     for i, v in enumerate(vecs):
         wx, wy = int(v["wx"], 16), int(v["wy"], 16)
         msg = bytes.fromhex(v["msg"])
-        if wx >= c.p or wy >= c.p or not H.on_curve(c, (wx, wy)):
-            results[i] = False
-            continue
+        # NO on-curve / range pre-check here: public-key validation is the
+        # library's job (verify_batch rejects out-of-range and off-curve
+        # keys itself, like primeorder/src/affine.rs:164-195)
         try:
             r, s = der.der_to_sig(bytes.fromhex(v["sig"]))
         except der.DerError:

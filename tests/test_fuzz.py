@@ -1,0 +1,290 @@
+"""Proptest-tier randomized fuzzing against the Python-int oracle.
+
+The reference runs proptest property fuzzing on every field op
+(k256/src/arithmetic/field.rs:771-872, helpers k256/src/arithmetic/dev.rs:7-23)
+and scalar equivalences (p256/tests/scalar.rs:15-22). The TPU build exploits
+the batch axis instead: thousands of random cases per op run as ONE device
+call, so the case count here is ~500x the reference's proptest default.
+
+Three tiers:
+1. Batched op sweeps — mul/square/add/sub/neg/invert/sqrt over >=4096 random
+   + boundary values per backend flavor (solinas, Montgomery CIOS, wide
+   solinas p521, Montgomery scalar), each op one device call, vs host ints.
+2. Random lazy-op-DAG fuzzing of the bound ledger — THE design's riskiest
+   invention (static magnitude tracking with auto-carry, fe.py): seeded
+   random compositions of 40+ lazy ops with mixed magnitudes, checked
+   end-to-end against exact host mod-p arithmetic. Any wrong bound either
+   trips a trace-time ledger assert or miscomputes — both caught here.
+3. Scalar equivalences: invert == x^(n-2) == host modular inverse, and
+   invert(invert(x)) == x (the reference's scalar proptests).
+"""
+
+import random
+
+import numpy as np
+import pytest
+import jax
+
+from tpu_ecc.curves.specs import get_curve
+from tpu_ecc.ops import fe as F
+
+
+def _spec(kind: str):
+    return {
+        "k256_field": get_curve("secp256k1").field,
+        "p256_field": get_curve("p256").field,
+        "p521_field": get_curve("p521").field,
+        "k256_scalar": get_curve("secp256k1").scalar,
+    }[kind]
+
+
+def _sample_values(p: int, count: int, seed: int) -> list[int]:
+    """Random values + the boundary cases the reference's proptests reach
+    only by luck: 0, 1, p-1, p-2, 2^k edges, all-limbs-saturated patterns."""
+    rng = random.Random(seed)
+    special = [0, 1, 2, 3, p - 1, p - 2, p // 2, (p - 1) // 2, p - 3]
+    bits = p.bit_length()
+    for k in (1, 12, 13, 26, 32, 64, bits - 1, bits - 2):
+        special += [(1 << k) % p, ((1 << k) - 1) % p, ((1 << k) + 1) % p]
+    vals = [s % p for s in special]
+    while len(vals) < count:
+        choice = rng.randrange(4)
+        if choice == 0:
+            vals.append(rng.randrange(p))                  # uniform
+        elif choice == 1:
+            vals.append(rng.getrandbits(rng.randrange(1, bits)) % p)  # short
+        elif choice == 2:
+            vals.append((p - 1 - rng.getrandbits(16)) % p)  # near p
+        else:
+            # sparse: few set bits (stresses carry chains with zero limbs)
+            v = 0
+            for _ in range(rng.randrange(1, 5)):
+                v |= 1 << rng.randrange(bits)
+            vals.append(v % p)
+    return vals[:count]
+
+
+@pytest.mark.parametrize("kind", ["k256_field", "p256_field", "k256_scalar"])
+def test_fuzz_ops_sweep(kind):
+    """mul/square/add/sub/neg/invert over 4096 random+boundary values per
+    backend flavor — each op ONE batched device call vs host ints."""
+    s = _spec(kind)
+    B = 4096
+    av = _sample_values(s.p, B, seed=101)
+    bv = _sample_values(s.p, B, seed=202)
+    a = F.fe_from_ints(s, av)
+    b = F.fe_from_ints(s, bv)
+
+    @jax.jit
+    def sweep(al, bl):
+        x, y = F.fe_steady(s, al), F.fe_steady(s, bl)
+        outs = [F.fmul(x, y), F.fsquare(x), x + y, x - y, -x, F.finv(x)]
+        import jax.numpy as jnp
+        return jnp.stack([F.fcanonical(o).limbs for o in outs])
+
+    got = np.asarray(sweep(a.limbs, b.limbs))
+    names = ["mul", "square", "add", "sub", "neg", "invert"]
+    p = s.p
+    oracle = [
+        [(x * y) % p for x, y in zip(av, bv)],
+        [(x * x) % p for x in av],
+        [(x + y) % p for x, y in zip(av, bv)],
+        [(x - y) % p for x, y in zip(av, bv)],
+        [(-x) % p for x in av],
+        [pow(x, -1, p) if x else 0 for x in av],
+    ]
+    for i, (name, want) in enumerate(zip(names, oracle)):
+        res = F.fe_to_ints(F.FE(got[i], s, s.mask, p - 1))
+        bad = [k for k in range(B) if res[k] != want[k]]
+        assert not bad, (f"{kind} {name}: {len(bad)} mismatches, first at "
+                         f"lane {bad[0]}: a={av[bad[0]]:#x} b={bv[bad[0]]:#x}"
+                         f" got={res[bad[0]]:#x} want={want[bad[0]]:#x}")
+
+
+@pytest.mark.slow
+def test_fuzz_ops_sweep_p521():
+    """The wide-solinas backend (41x13 limbs) sweep — slow tier: the p521
+    chain compiles dominate on this 4-core host."""
+    s = _spec("p521_field")
+    B = 1024
+    av = _sample_values(s.p, B, seed=11)
+    bv = _sample_values(s.p, B, seed=22)
+    a, b = F.fe_from_ints(s, av), F.fe_from_ints(s, bv)
+
+    @jax.jit
+    def sweep(al, bl):
+        import jax.numpy as jnp
+        x, y = F.fe_steady(s, al), F.fe_steady(s, bl)
+        outs = [F.fmul(x, y), F.fsquare(x), x + y, x - y, -x]
+        return jnp.stack([F.fcanonical(o).limbs for o in outs])
+
+    got = np.asarray(sweep(a.limbs, b.limbs))
+    p = s.p
+    oracle = [
+        [(x * y) % p for x, y in zip(av, bv)],
+        [(x * x) % p for x in av],
+        [(x + y) % p for x, y in zip(av, bv)],
+        [(x - y) % p for x, y in zip(av, bv)],
+        [(-x) % p for x in av],
+    ]
+    for i, want in enumerate(oracle):
+        res = F.fe_to_ints(F.FE(got[i], s, s.mask, p - 1))
+        assert res == want, f"p521 op {i} mismatch"
+
+
+@pytest.mark.parametrize("kind", ["k256_field", "p256_field"])
+def test_fuzz_sqrt(kind):
+    """Batched sqrt over 2048 values (~half QRs): root^2 == x for squares,
+    is_square flag == Euler criterion for all."""
+    s = _spec(kind)
+    B = 2048
+    vals = _sample_values(s.p, B, seed=303)
+    x = F.fe_from_ints(s, vals)
+
+    @jax.jit
+    def run(al):
+        import jax.numpy as jnp
+        r, ok = F.fsqrt(F.fe_steady(s, al))
+        return F.fcanonical(r).limbs, ok
+
+    rl, ok = run(x.limbs)
+    roots = F.fe_to_ints(F.FE(np.asarray(rl), s, s.mask, s.p - 1))
+    ok = np.asarray(ok)
+    p = s.p
+    for k in range(B):
+        v = vals[k]
+        euler_qr = v == 0 or pow(v, (p - 1) // 2, p) == 1
+        assert bool(ok[k]) == euler_qr, f"lane {k}: is_square flag wrong"
+        if euler_qr:
+            assert (roots[k] * roots[k]) % p == v, f"lane {k}: root^2 != x"
+
+
+@pytest.mark.slow
+def test_fuzz_sqrt_tonelli_shanks():
+    """p224 (p = 1 mod 4): the constant-time Tonelli-Shanks path (the
+    reference hand-rolls a ~200-step chain, p224/src/arithmetic/field.rs)."""
+    s = get_curve("p224").field
+    B = 512
+    vals = _sample_values(s.p, B, seed=404)
+    x = F.fe_from_ints(s, vals)
+
+    @jax.jit
+    def run(al):
+        r, ok = F.fsqrt(F.fe_steady(s, al))
+        return F.fcanonical(r).limbs, ok
+
+    rl, ok = run(x.limbs)
+    roots = F.fe_to_ints(F.FE(np.asarray(rl), s, s.mask, s.p - 1))
+    ok = np.asarray(ok)
+    p = s.p
+    for k in range(B):
+        v = vals[k]
+        euler_qr = v == 0 or pow(v, (p - 1) // 2, p) == 1
+        assert bool(ok[k]) == euler_qr
+        if euler_qr:
+            assert (roots[k] * roots[k]) % p == v
+
+
+# ---------------------------------------------------------------------------
+# bound-ledger DAG fuzzing
+# ---------------------------------------------------------------------------
+
+def _random_dag(s, seed: int, n_ops: int, B: int):
+    """Compose n_ops random lazy fe ops over a growing pool, tracking the
+    exact host value of every node. Returns (final FE list, oracle lists).
+
+    The generator deliberately re-uses high-magnitude intermediates (the
+    outputs of adds/subs before any carry) as operands, mixing magnitudes
+    the way deep RCB formula chains do — exactly the pattern the static
+    bound ledger must keep sound."""
+    rng = random.Random(seed)
+    vals0 = _sample_values(s.p, B, seed=seed + 1)
+    vals1 = _sample_values(s.p, B, seed=seed + 2)
+    pool = [
+        (F.fe_from_ints(s, vals0), vals0),
+        (F.fe_from_ints(s, vals1), vals1),
+        (F.fone(s, (B,)), [1] * B),
+    ]
+    p = s.p
+    for _ in range(n_ops):
+        op = rng.choice(["add", "sub", "neg", "mul", "square", "mul_small",
+                         "carry", "add", "sub", "mul"])  # weight arith ops
+        xa, va = pool[rng.randrange(len(pool))]
+        xb, vb = pool[rng.randrange(len(pool))]
+        if op == "add":
+            node = (xa + xb, [(u + v) % p for u, v in zip(va, vb)])
+        elif op == "sub":
+            node = (xa - xb, [(u - v) % p for u, v in zip(va, vb)])
+        elif op == "neg":
+            node = (-xa, [(-u) % p for u in va])
+        elif op == "mul":
+            node = (F.fmul(xa, xb), [(u * v) % p for u, v in zip(va, vb)])
+        elif op == "square":
+            node = (F.fsquare(xa), [(u * u) % p for u in va])
+        elif op == "mul_small":
+            k = rng.choice([2, 3, 7, 21, 255, 4097])
+            node = (F.fmul_small(xa, k), [(k * u) % p for u in va])
+        else:  # carry: value-preserving normalization point
+            node = (F.fcarry(xa), va)
+        pool.append(node)
+    return pool
+
+
+@pytest.mark.parametrize("kind,seed", [
+    ("k256_field", 1), ("k256_field", 2), ("k256_field", 3),
+    ("p256_field", 1), ("p256_field", 2), ("p256_field", 3),
+    ("k256_scalar", 1),
+])
+def test_fuzz_bound_ledger_dag(kind, seed):
+    """Seeded random 40-op lazy DAGs: every node's canonical value must
+    equal exact host mod-p arithmetic. A too-loose static bound shows up as
+    a limb overflow (wrong value); a too-tight one as a trace-time assert."""
+    s = _spec(kind)
+    B = 256
+    pool = _random_dag(s, seed=seed * 1000 + 7, n_ops=40, B=B)
+
+    # one device fetch for ALL nodes: canonicalize each and stack
+    @jax.jit
+    def fetch_all(_):
+        import jax.numpy as jnp
+        return jnp.stack([F.fcanonical(fe).limbs for fe, _ in pool])
+
+    got = np.asarray(fetch_all(0))
+    for i, (fe, want) in enumerate(pool):
+        res = F.fe_to_ints(F.FE(got[i], s, s.mask, s.p - 1))
+        bad = [k for k in range(B) if res[k] != want[k]]
+        assert not bad, (f"{kind} seed={seed} node {i} "
+                         f"(bound={fe.bound:#x}, vmax~2^{fe.vmax.bit_length()})"
+                         f": {len(bad)} bad lanes, lane {bad[0]}: "
+                         f"got {res[bad[0]]:#x} want {want[bad[0]]:#x}")
+
+
+def test_fuzz_scalar_invert_equivalences():
+    """The reference's scalar proptests (p256/tests/scalar.rs:15-22):
+    invert == x^(n-2) == host inverse; invert(invert(x)) == x; x * x^-1 == 1."""
+    c = get_curve("secp256k1")
+    s = c.scalar
+    B = 1024
+    vals = _sample_values(s.p, B, seed=505)
+    vals = [v if v else 1 for v in vals]  # nonzero scalars
+    x = F.fe_from_ints(s, vals)
+
+    @jax.jit
+    def run(al):
+        import jax.numpy as jnp
+        xx = F.fe_steady(s, al)
+        inv = F.finv(xx)
+        inv2 = F.finv(inv)
+        prod = F.fmul(xx, inv)
+        return jnp.stack([F.fcanonical(inv).limbs,
+                          F.fcanonical(inv2).limbs,
+                          F.fcanonical(prod).limbs])
+
+    got = np.asarray(run(x.limbs))
+    inv = F.fe_to_ints(F.FE(got[0], s, s.mask, s.p - 1))
+    inv2 = F.fe_to_ints(F.FE(got[1], s, s.mask, s.p - 1))
+    prod = F.fe_to_ints(F.FE(got[2], s, s.mask, s.p - 1))
+    n = s.p
+    assert inv == [pow(v, -1, n) for v in vals]
+    assert inv2 == vals
+    assert prod == [1] * B

@@ -55,8 +55,31 @@ def test_msm_pippenger(rng):
     assert got == _host_msm(c, pts, ks2)
 
 
+def test_msm_pippenger_signed(rng):
+    """Signed-digit Pippenger (halved bucket space, PERF.md r3 lever) vs
+    oracle: max digits (carry chains), zero scalars, the bits % w == 0
+    carry-window case (w=8/16-bit scalars), and full-width scalars."""
+    c = get_curve("secp256k1")
+    G = H.aff_generator(c)
+    base = [H.aff_mul(c, rng.randrange(1, c.n), G) for _ in range(8)]
+    N = 256
+    pts = [base[i % 8] for i in range(N)]
+    ks = [rng.randrange(0, 1 << 16) for _ in range(N)]
+    ks[0] = 0
+    ks[1] = (1 << 16) - 1
+    for w in (5, 8):
+        got = M.msm(c, pts, ks, method="pippenger", w=w, lanes=16,
+                    scalar_bits=16, signed=True)
+        assert got == _host_msm(c, pts, ks), f"signed w={w}"
+    ks2 = [rng.randrange(0, c.n) for _ in range(N)]
+    got = M.msm(c, pts, ks2, method="pippenger", w=13, lanes=32, signed=True)
+    assert got == _host_msm(c, pts, ks2), "signed full-width"
+
+
 def test_msm_sharded_mesh(rng):
-    """Points sharded over 8 virtual devices; replicated result == oracle."""
+    """Points sharded over 8 virtual devices; replicated result == oracle —
+    under BOTH collective implementations (all_gather+tree fold and the
+    ppermute ring-reduce), which must agree with each other too."""
     c = get_curve("secp256k1")
     mesh = collectives.make_mesh(8, "dp")
     G = H.aff_generator(c)
@@ -64,8 +87,11 @@ def test_msm_sharded_mesh(rng):
     base = [H.aff_mul(c, rng.randrange(1, c.n), G) for _ in range(8)]
     pts = [base[i % 8] for i in range(N)]
     ks = [rng.randrange(0, 1 << 16) for _ in range(N)]
-    got = M.msm(c, pts, ks, mesh=mesh, axis="dp", terms=2, scalar_bits=16)
-    assert got == _host_msm(c, pts, ks)
+    want = _host_msm(c, pts, ks)
+    for rm in ("gather", "ring"):
+        got = M.msm(c, pts, ks, mesh=mesh, axis="dp", terms=2,
+                    scalar_bits=16, reduce_method=rm)
+        assert got == want, f"reduce_method={rm}"
 
 
 def test_msm_sharded_hierarchical_2axis(rng):
@@ -80,10 +106,11 @@ def test_msm_sharded_hierarchical_2axis(rng):
     pts = [base[i % 8] for i in range(N)]
     ks = [rng.randrange(0, 1 << 16) for _ in range(N)]
     got = M.msm(c, pts, ks, mesh=mesh, axis=("dcn", "ici"), terms=2,
-                scalar_bits=16)
+                scalar_bits=16)   # auto -> ring on both short axes
     assert got == _host_msm(c, pts, ks)
     got = M.msm(c, pts, ks, mesh=mesh, axis=("dcn", "ici"),
-                method="pippenger", w=8, lanes=32, scalar_bits=16)
+                method="pippenger", w=8, lanes=32, scalar_bits=16,
+                reduce_method="gather")
     assert got == _host_msm(c, pts, ks)
 
 

@@ -114,6 +114,31 @@ def test_kernel_mixed_formulas(name, rng):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("name,B", [("secp256k1", 128), ("p256", 384)])
+def test_pow_kernel_interpret(name, B, rng):
+    """Compiled-path pow_call (the fused Fermat/sqrt chain kernel, default-on
+    for every big fixed-exponent chain on TPU) in interpret mode, truncated
+    exponent, vs the host int oracle — solinas (secp256k1) and Montgomery
+    CIOS (p256) backends. e has a zero digit (the skip-mul keep branch);
+    B=384 exercises the gcd lane-block router (rows=3 not divisible by the
+    default 8-sublane block — ADVICE r3). Slow tier like the other
+    interpret-mode kernel tests: interpreting the unrolled KFE body costs
+    minutes on this 4-core host; the compiled path is gated on real TPU by
+    tests/test_tpu_kernels.py::test_pow_kernel_bitequal."""
+    c = get_curve(name)
+    s = c.field
+    e = 0x1057            # digits [1,0,5,7]: zero digit + distinct windows
+    vals = [rng.randrange(s.p) for _ in range(B)]
+    vals[0] = 0
+    vals[1] = 1
+    vals[2] = s.p - 1
+    x = F.fe_from_ints(s, vals)
+    out = PK.pow_call(s, e, B, interpret=True)(x.limbs)
+    got = F.fe_to_ints(F.FE(out, s, s.mask, s.carried_vmax))
+    assert got == [pow(v, e, s.p) for v in vals]
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ["secp256k1", "p256", "bp256r1"])
 def test_genmul_kernel_interpret(name, rng):
     """Compiled-path genmul_call in interpret mode, truncated to 4 windows

@@ -127,6 +127,35 @@ def test_glv_kernel_affine_equal(rng):
     assert _affine(c, got) == _affine(c, want) == _affine(c, plain)
 
 
+@pytest.mark.parametrize("name", ["secp256k1", "p256"])
+def test_pow_kernel_bitequal(name, rng):
+    """The fused pow_call kernel (Fermat inversion + sqrt chains, default-on
+    for every big fixed-exponent chain) vs the XLA fpow_const scan path,
+    bitwise — solinas (secp256k1) and Montgomery CIOS (p256) backends.
+    Covers finv (= the s^-1 inside every ECDSA verify) and the fsqrt chain
+    (= the decompress inside recover/schnorr)."""
+    c = get_curve(name)
+    f = c.field
+    vals = [rng.randrange(1, f.p) for _ in range(B)]
+    vals[0] = 1
+    vals[1] = f.p - 1
+    a_l = F.fe_from_ints(f, vals).limbs
+
+    def inv(al):
+        return F._steady(F.finv(F.fe_steady(f, al))).limbs
+
+    got, want = _ab(inv, a_l)
+    assert np.array_equal(got, want), "finv kernel != xla"
+
+    def sqrt_fn(al):
+        r, ok = F.fsqrt(F.fe_steady(f, al))
+        return jnp.concatenate(
+            [F._steady(r).limbs, ok.astype(jnp.uint32)[None]], axis=0)
+
+    got, want = _ab(sqrt_fn, a_l)
+    assert np.array_equal(got, want), "fsqrt kernel != xla"
+
+
 @pytest.mark.parametrize("name", ["secp256k1", "p256", "bp256r1"])
 def test_genmul_kernel_bitequal(name, rng):
     c = get_curve(name)
@@ -156,20 +185,29 @@ def test_msm_kernels_bitequal(rng):
     inf = jnp.zeros((N,), bool)
     k_l = SM.pack_scalars(c, ks)
 
-    def run(kern):
+    def run(kern, signed=False):
         return np.asarray(jax.jit(
             lambda a, b, i, d: P.point_limbs(M.msm_pippenger(
                 c, F.fe_steady(f, a), F.fe_steady(f, b), i, d,
-                w=w, lanes=lanes, scalar_bits=bits, kernels=kern))
+                w=w, lanes=lanes, scalar_bits=bits, kernels=kern,
+                signed=signed))
         )(xs_l, ys_l, inf, k_l))
+
+    acc = None
+    for p_, k_ in zip(pts, ks):
+        acc = H.aff_add(c, acc, H.aff_mul(c, k_, p_))
 
     got = run("full")
     want = run(False)
     assert np.array_equal(got, want), "fused MSM != XLA MSM"
     xs, ys, infs = _affine(c, got)
-    acc = None
-    for p_, k_ in zip(pts, ks):
-        acc = H.aff_add(c, acc, H.aff_mul(c, k_, p_))
+    assert not infs[0] and (xs[0], ys[0]) == acc
+
+    # signed-digit mode (halved buckets, drop0=False reduce kernel)
+    got = run("full", signed=True)
+    want = run(False, signed=True)
+    assert np.array_equal(got, want), "fused signed MSM != XLA signed MSM"
+    xs, ys, infs = _affine(c, got)
     assert not infs[0] and (xs[0], ys[0]) == acc
 
 

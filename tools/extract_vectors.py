@@ -129,12 +129,36 @@ def extract_wycheproof(curve, crate):
     print(f"wycheproof_{curve}.json: {len(out)} cases ({npass} valid)")
 
 
+def extract_ecdsa(curve, crate):
+    """ECDSA_TEST_VECTORS TestVector structs (d, q_x, q_y, k, m, r, s) from
+    <crate>/src/test_vectors/ecdsa.rs — RFC 6979 (k256) / FIPS 186-4 SigGen
+    (p384, p521) published vectors; field order varies per crate, so parse
+    named fields."""
+    path = f"{REF}/{crate}/src/test_vectors/ecdsa.rs"
+    if not os.path.exists(path):
+        return
+    text = open(path).read()
+    m = re.search(r"ECDSA_TEST_VECTORS[^=]*=\s*&\[(.*)\n?\];", text, re.S)
+    if not m:
+        return
+    out = []
+    for block in re.findall(r"TestVector\s*\{(.*?)\}", m.group(1), re.S):
+        fields = dict(re.findall(
+            r'(\w+):\s*&hex!\(\s*"([0-9a-fA-F]*)"\s*\)', block))
+        assert set(fields) == {"d", "q_x", "q_y", "k", "m", "r", "s"}, fields
+        out.append(fields)
+    with open(f"{OUT}/ecdsa_{curve}.json", "w") as f:
+        json.dump(out, f, indent=0)
+    print(f"ecdsa_{curve}.json: {len(out)} vectors")
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     for curve, crate in CURVES.items():
         extract_group(curve, crate)
         extract_field_dbl(curve, crate)
         extract_wycheproof(curve, crate)
+        extract_ecdsa(curve, crate)
 
 
 if __name__ == "__main__":

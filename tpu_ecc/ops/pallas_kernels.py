@@ -691,12 +691,17 @@ def fixup_call(curve: CurveSpec, L: int, interpret: bool = False):
 
 
 @functools.lru_cache(maxsize=None)
-def bucket_reduce_call(curve: CurveSpec, nbuck: int, interpret: bool = False):
+def bucket_reduce_call(curve: CurveSpec, nbuck: int, interpret: bool = False,
+                       drop0: bool = True):
     """Fused Pippenger bucket reduction (parallel/msm.py step 8):
     sum_b b*S_b = sum_{b>=1} suffix_b via a guarded suffix Hillis-Steele then
     a circular all-reduce. GRID-STEPPED like fixup_call: 2*log2(nbuck)
     sequential grid steps, ONE point add per body (see fixup_call's note on
     compile cost).
+
+    drop0=False keeps bucket 0 in the final sum (signed-digit mode, where
+    bucket b holds |digit| = b+1 and the weighted sum is sum_b (b+1)*S_b =
+    the sum of ALL suffixes).
 
     jitted (buckets [3, n, nbuck]) -> S [3, n] packed as [3, n, nbuck]
     (every flat lane holds the total; the caller takes lane 0).
@@ -718,15 +723,16 @@ def bucket_reduce_call(curve: CurveSpec, nbuck: int, interpret: bool = False):
         def _init():
             acc_ref[...] = b_ref[...]
 
-        @pl.when(k == nsteps)
-        def _drop0():
-            # between phases: drop bucket 0 before the circular all-reduce
-            ident = _ident_rows(f, (S, 128))
-            zero0 = flat == 0
-            for c in range(3):
-                for i in range(n):
-                    acc_ref[c, i, :, :] = jnp.where(
-                        zero0, ident[c][i], acc_ref[c, i, :, :])
+        if drop0:
+            @pl.when(k == nsteps)
+            def _drop0():
+                # between phases: drop bucket 0 before the circular all-reduce
+                ident = _ident_rows(f, (S, 128))
+                zero0 = flat == 0
+                for c in range(3):
+                    for i in range(n):
+                        acc_ref[c, i, :, :] = jnp.where(
+                            zero0, ident[c][i], acc_ref[c, i, :, :])
 
         suffix = k < nsteps
         sk = jnp.where(suffix, k, k - nsteps).astype(jnp.uint32)
@@ -1113,12 +1119,14 @@ def pow_call(spec, e: int, B: int, block: int = 1024,
     Works for any solinas/mont FieldSpec (base and scalar fields).
     """
     assert spec.kind in ("solinas", "mont")
+    import math
+
     n = spec.n_limbs
     assert B % 128 == 0 and e >= 2
-    block = min(block, B)
-    S = block // 128
     rows = B // 128
-    assert rows % S == 0
+    # largest sublane count <= block/128 that divides the row count, so any
+    # B % 128 == 0 batch is accepted (ADVICE r3: B=1152 must not assert)
+    S = math.gcd(rows, block // 128)
     GL = rows // S
     ndig = -(-e.bit_length() // 4)
     digits = np.array([(e >> (4 * i)) & 15 for i in range(ndig)][::-1],

@@ -42,3 +42,33 @@ def all_gather(x, mesh_axis: str, axis: int = 0, tiled: bool = True):
     """Gather shards over `mesh_axis` along array dim `axis` (the MSM
     partial-fold transport, parallel/msm.py::msm_sharded)."""
     return jax.lax.all_gather(x, mesh_axis, axis=axis, tiled=tiled)
+
+
+def axis_size(mesh_axis: str) -> int:
+    """Static size of a named mesh axis inside a shard_map body."""
+    return jax.lax.axis_size(mesh_axis)
+
+
+def ppermute_ring_reduce(x, mesh_axis: str, fold):
+    """Ring all-reduce with an arbitrary fold: D-1 neighbor `ppermute`
+    steps, each followed by fold(acc, received).
+
+    The second collective implementation behind the backend seam (the
+    all_gather+tree-fold alternative): traffic is strictly nearest-neighbor
+    (rides ICI ring links with no fan-in hotspot), memory is O(1) payloads
+    instead of the gather's O(D), at the cost of D-1 sequential folds vs
+    the tree's ceil(log2 D). Wins when the payload is small and the axis is
+    short (the MSM partial fold: one [3, n_limbs] point per device); the
+    gather-fold wins when D is large enough that log-depth matters.
+
+    `fold` must be associative+commutative over the payload (point addition
+    is). Every device ends with the identical full reduction.
+    """
+    D = axis_size(mesh_axis)
+    perm = [(i, (i + 1) % D) for i in range(D)]
+    acc, send = x, x
+    for _ in range(D - 1):
+        recv = jax.lax.ppermute(send, mesh_axis, perm=perm)
+        acc = fold(acc, recv)
+        send = recv
+    return acc

@@ -50,6 +50,20 @@ from ..ops.fe import U32
 from ..ops.points import Point
 
 
+
+# Axes of the enclosing shard_map, set by msm_sharded.local so the scan
+# initializers below (identity-point constants) can be promoted to
+# device-varying values — lax.scan requires carry-in and carry-out to agree
+# in varying-manual-axes type now that check_vma stays enabled.
+_VMA_AXES: tuple = ()
+
+
+def _as_varying(x):
+    if _VMA_AXES:
+        return jax.lax.pcast(x, _VMA_AXES, to="varying")
+    return x
+
+
 def tree_reduce_points(pt: Point) -> Point:
     """Fold the last batch axis of a point batch into one point.
 
@@ -115,7 +129,7 @@ def msm_local_lanes(curve: CurveSpec, xs, ys, inf_mask, k_limbs,
         acc = P.point_from_limbs(curve, acc_l)
         return P.point_limbs(P.steady(P.padd(acc, partial)))
 
-    acc0 = P.point_limbs(P.identity(curve, (lanes,)))
+    acc0 = _as_varying(P.point_limbs(P.identity(curve, (lanes,))))
     acc_l = jax.lax.fori_loop(0, G, group, acc0) if G > 1 else group(0, acc0)
     return P.point_from_limbs(curve, acc_l)
 
@@ -164,7 +178,7 @@ def _lincomb_terms(curve: CurveSpec, pts: Point, k_limbs, terms: int,
         acc = P.steady(P.padd(acc, P.point_from_limbs(curve, term_l[..., 0, :])))
         return P.point_limbs(acc), None
 
-    acc0 = P.point_limbs(P.identity(curve, pts.batch_shape[1:]))
+    acc0 = _as_varying(P.point_limbs(P.identity(curve, pts.batch_shape[1:])))
     acc_l, _ = jax.lax.scan(body, acc0, digss)
     return P.point_from_limbs(curve, acc_l)
 
@@ -198,6 +212,45 @@ def wide_window_digits(curve: CurveSpec, k_limbs: jax.Array, w: int,
     return jnp.stack(digs[::-1], axis=0)  # MSB first
 
 
+def wide_window_digits_signed(curve: CurveSpec, k_limbs: jax.Array, w: int,
+                              scalar_bits=None):
+    """Signed w-bit window recoding for Pippenger: digits in
+    [-2^(w-1), 2^(w-1)], so the bucket space HALVES (nbuck = 2^(w-1)) and a
+    256-bit scalar needs ceil(257/w) windows instead of ceil(256/(w-1))-ish
+    unsigned ones at the same bucket count — one fewer full sort+gather pass
+    at w=14 (PERF.md round-3 "next levers").
+
+    Returns (keys, negs), MSB window first:
+      keys uint32[nw', N]: |digit| - 1, or the sentinel nbuck for digit 0
+        (sorts after every real bucket; no bucket reads it)
+      negs bool[nw', N]: digit < 0 (the caller adds -P into bucket |d|-1)
+    The bucket weight is therefore (key + 1) — sum of ALL suffix sums, no
+    dropped zero bucket. If the top window can carry out (bits % w == 0), an
+    extra MSB row with digit = carry (0/1) is appended (nw' = nw + 1).
+    """
+    s = curve.scalar
+    bits = scalar_bits or s.bits
+    digs = wide_window_digits(curve, k_limbs, w, scalar_bits)[::-1]  # LSB 1st
+    nw = digs.shape[0]
+    half = np.uint32(1 << (w - 1))
+    full = np.uint32(1 << w)
+    sentinel = half  # == nbuck
+    keys, negs = [], []
+    carry = jnp.zeros(digs.shape[1:], U32)
+    for j in range(nw):
+        t = digs[j] + carry                       # <= 2^w (no uint32 wrap)
+        carry = (t > half).astype(U32)
+        mag = jnp.where(carry == 1, full - t, t)  # |signed digit| <= 2^(w-1)
+        keys.append(jnp.where(mag == 0, sentinel, mag - 1))
+        negs.append(jnp.logical_and(carry == 1, mag != 0))
+    top_bits = bits - w * (nw - 1)
+    if top_bits == w:                             # top window can carry out
+        keys.append(jnp.where(carry == 1, np.uint32(0), sentinel))
+        negs.append(jnp.zeros_like(negs[0]))
+    return (jnp.stack(keys[::-1], axis=0),        # MSB first
+            jnp.stack(negs[::-1], axis=0))
+
+
 def _hs_scan(curve: CurveSpec, limbs: jax.Array, nsteps: int, mode: str,
              unroll: int = 1):
     """Hillis–Steele point scan over the last axis (width W = 2^nsteps).
@@ -225,10 +278,17 @@ def _hs_scan(curve: CurveSpec, limbs: jax.Array, nsteps: int, mode: str,
 
 def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
                   lanes: int = 8192, scalar_bits=None, seg_unroll: int = 1,
-                  hs_unroll: int = 1, kernels=None) -> Point:
+                  hs_unroll: int = 1, kernels=None,
+                  signed: bool = False) -> Point:
     """Bucketed Pippenger MSM -> single point (batch ()). See module doc.
 
     N must be a multiple of `lanes` (a power of two); w <= 16.
+    signed=True uses signed-digit recoding (wide_window_digits_signed):
+    buckets halve to 2^(w-1) so w can grow one step at the same bucket
+    budget — fewer windows, hence fewer of the payload gathers that are the
+    measured floor (PERF.md). The negated-point payload is a SECOND
+    pre-negated row table; the per-window gather picks row order + neg*N,
+    so signed costs zero extra gather traffic.
     seg_unroll/hs_unroll: lax.scan unroll factors. A lone point-add per loop
     iteration costs ~1ms on v5e (per-iteration overhead + unfused kernels);
     unrolling lets XLA fuse consecutive adds like the flat batched path
@@ -242,7 +302,7 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
     L = min(lanes, N & (-N))
     assert N % L == 0 and L & (L - 1) == 0, (N, L)
     C = N // L
-    nbuck = 1 << w
+    nbuck = 1 << (w - 1) if signed else 1 << w
     # fused Mosaic kernels are the default TPU path (segmented scan, lane
     # fix-up, bucket reduction, window combine — all grid-stepped, so cold
     # compile is minutes not the round-2 "full" mode's ~16; TPU_ECC_KERNELS=0
@@ -260,7 +320,11 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
 
     pts = P.from_affine(curve, xs, ys, inf_mask)
     pl = P.point_limbs(P.steady(pts))                       # [3, n, N]
-    digs = wide_window_digits(curve, k_limbs, w, scalar_bits)   # [nw, N]
+    if signed:
+        keys, negs = wide_window_digits_signed(curve, k_limbs, w, scalar_bits)
+        digs = (keys, negs.astype(U32))                     # [nw', N] each
+    else:
+        digs = wide_window_digits(curve, k_limbs, w, scalar_bits)  # [nw, N]
 
     # TPU memory-layout discipline (measured on v5e, PERF.md): random gathers
     # and scatters must move contiguous *rows*, so the payload lives
@@ -268,8 +332,16 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
     # every transpose is materialized behind an optimization_barrier so the
     # sequential scan reads contiguous [3, n, L] slices instead of re-doing
     # a strided transpose per step.
-    pl_major = jax.lax.optimization_barrier(
-        jnp.moveaxis(pl.reshape(3 * n, N), -1, 0))          # [N, 3n]
+    pl_major = jnp.moveaxis(pl.reshape(3 * n, N), -1, 0)    # [N, 3n]
+    if signed:
+        # pre-negated twin table: rows N..2N-1 hold (x, -y, z), built ONCE —
+        # the per-window gather then selects P or -P with the same single
+        # row lookup (index order + neg*N)
+        yn = F._steady(F.fneg(F.FE(pl[1], f, f.mask, f.carried_vmax)))
+        pl_neg = jnp.stack([pl[0], yn.limbs, pl[2]])
+        pl_major = jnp.concatenate(
+            [pl_major, jnp.moveaxis(pl_neg.reshape(3 * n, N), -1, 0)], axis=0)
+    pl_major = jax.lax.optimization_barrier(pl_major)
 
     ident1 = P.point_limbs(P.identity(curve))               # [3, n]
     ident_L = jnp.broadcast_to(ident1[..., None], (3, n, L))
@@ -277,12 +349,17 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
     lsteps = max(L.bit_length() - 1, 0)
 
     def window(acc_l, dig):
+        if signed:
+            dig, neg = dig
         # 1) sort by digit; gather the point payload as contiguous rows.
         # One sort_key_val yields keys AND order (argsort is sort_key_val
         # internally; a separate dig[order] re-gather cost ~5 ms/window).
         skey, order = jax.lax.sort_key_val(
             dig, jnp.arange(N, dtype=jnp.int32))
-        smaj = jnp.take(pl_major, order, axis=0)            # [N, 3n]
+        ridx = order
+        if signed:                    # row N+i = the pre-negated twin of i
+            ridx = order + jnp.take(neg, order).astype(jnp.int32) * N
+        smaj = jnp.take(pl_major, ridx, axis=0)             # [N, 3n]
         # 2) chunk layout: lane l holds sorted[l*C : (l+1)*C]
         key2 = skey.reshape(L, C).T                         # [C, L]
         val2 = jax.lax.optimization_barrier(
@@ -304,7 +381,8 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
             scanned, last_key, t_l, lead_vals = PK.segscan_call(
                 curve, C, L, nbuck, interpret=_interp)(key2, val2)
         else:
-            init = (jnp.full((L,), nbuck, U32), ident_L)    # nbuck != any key
+            init = (_as_varying(jnp.full((L,), nbuck, U32)),
+                    _as_varying(ident_L))           # nbuck != any key
             (last_key, t_l), scanned = jax.lax.scan(
                 seg_step, init, (key2, val2), unroll=min(seg_unroll, C))
             lead_vals = None
@@ -381,16 +459,23 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
                                 jnp.where(m_have, end_vals, ident_b))
         buckets = jnp.moveaxis(bucket_vals, 0, -1)          # [3, n, nbuck]
 
-        # 8) weighted bucket sum: sum_b b*S_b = sum_{b>=1} suffix_b
+        # 8) weighted bucket sum. Unsigned: bucket b holds digit b, so
+        # sum_b b*S_b = sum_{b>=1} suffix_b (bucket 0 dropped). Signed:
+        # bucket b holds |digit| = b+1, so sum_b (b+1)*S_b = sum of ALL
+        # suffixes (no drop).
+        nsteps = nbuck.bit_length() - 1
         if use_full:
             from ..ops import pallas_kernels as PK
-            red = PK.bucket_reduce_call(curve, nbuck,
+            red = PK.bucket_reduce_call(curve, nbuck, drop0=not signed,
                                         interpret=_interp)(buckets)
             s_l = red[..., 0]
         else:
-            suff = _hs_scan(curve, buckets, w, "suffix", unroll=hs_unroll)
-            suff = suff.at[:, :, 0].set(ident1)             # drop bucket 0
-            s_l = _hs_scan(curve, suff, w, "total", unroll=hs_unroll)[..., 0]
+            suff = _hs_scan(curve, buckets, nsteps, "suffix",
+                            unroll=hs_unroll)
+            if not signed:
+                suff = suff.at[:, :, 0].set(ident1)         # drop bucket 0
+            s_l = _hs_scan(curve, suff, nsteps, "total",
+                           unroll=hs_unroll)[..., 0]
         return None, s_l
 
     # per-window sums S_j (MSB window first), then one Horner combine
@@ -415,7 +500,7 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
                      P.point_from_limbs(curve, s_l))
         return P.point_limbs(P.steady(acc)), None
 
-    acc_l, _ = jax.lax.scan(comb, ident1, s_all)
+    acc_l, _ = jax.lax.scan(comb, _as_varying(ident1), s_all)
     return P.point_from_limbs(curve, acc_l)
 
 
@@ -426,58 +511,89 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
 def msm_sharded(curve: CurveSpec, mesh: Mesh, axis, xs_l, ys_l, inf_mask,
                 k_l, terms: int = 8, scalar_bits=None, method: str = "straus",
                 w: int = 13, lanes: int = 8192, seg_unroll: int = 8,
-                hs_unroll: int = 4):
+                hs_unroll: int = 4, reduce_method: str = "auto",
+                signed: bool = False):
     """MSM with the point axis sharded over `axis` of `mesh`.
 
     `axis` is one mesh axis name or a tuple ordered outermost first, e.g.
     ("dcn", "ici") for a multi-host topology: the reduction is then
-    hierarchical — per-device partials all_gather + log-tree fold on the
-    innermost (ICI) axis first, and only ONE already-folded point per slice
-    (~240B) crosses each outer (DCN) axis for its own small fold.
+    hierarchical — per-device partials are folded on the innermost (ICI)
+    axis first, and only ONE already-folded point per slice (~240B) crosses
+    each outer (DCN) axis for its own small fold.
+
+    Two collective implementations sit behind the seam
+    (parallel/collectives.py), selected per axis by `reduce_method`:
+      - "gather": all_gather the partials + ceil(log2 D) tree fold — wins at
+        large D (log depth).
+      - "ring": D-1 nearest-neighbor ppermute steps, one padd each — pure
+        neighbor traffic (no gather fan-in), O(1) memory; wins on short
+        ICI axes where the point payload is tiny.
+      - "auto": ring for axes of size <= 8, gather above (COMPILE.md has
+        the measured program sizes behind the threshold).
 
     Inputs are raw arrays (limb arrays [n, N] / mask [N]) sharded on the
-    point axis over all the given axes; output is the replicated MSM
-    result's packed limbs [3, n]. Straus gathers `lanes` points per device,
-    Pippenger one; every device folds the same gathered partials with the
-    same log-depth tree — deterministic and cheap.
+    point axis over all the given axes; output is the MSM result's packed
+    limbs [3, n] (identical on every device by construction; the body
+    returns the per-device copy so the varying-axes checker stays ENABLED,
+    and the host slices one copy).
     """
     from . import collectives as C
 
     axes = (axis,) if isinstance(axis, str) else tuple(axis)
     f = curve.field
 
+    def _fold_kind(ax: str) -> str:
+        if reduce_method != "auto":
+            return reduce_method
+        return "ring" if mesh.shape[ax] <= 8 else "gather"
+
+    def _fold_pt(a_l, b_l):
+        s = P.padd(P.point_from_limbs(curve, a_l),
+                   P.point_from_limbs(curve, b_l))
+        return P.point_limbs(P.steady(s))
+
     def local(xs_s, ys_s, inf_s, k_s):
+        global _VMA_AXES
+        _VMA_AXES = axes
         xs = F.fe_steady(f, xs_s)
         ys = F.fe_steady(f, ys_s)
         if method == "pippenger":
             pt = msm_pippenger(curve, xs, ys, inf_s, k_s, w=w, lanes=lanes,
                                scalar_bits=scalar_bits, seg_unroll=seg_unroll,
-                               hs_unroll=hs_unroll)
+                               hs_unroll=hs_unroll, signed=signed)
             packed = P.point_limbs(pt)[..., None]        # [3, n, 1]
         else:
             pt = msm_local_lanes(curve, xs, ys, inf_s, k_s, terms, scalar_bits)
             packed = P.point_limbs(pt)                   # [3, n, lanes]
         for ax in reversed(axes):                        # innermost first
-            allp = C.all_gather(packed, ax, axis=2, tiled=True)
-            red = tree_reduce_points(P.point_from_limbs(curve, allp))
-            packed = P.point_limbs(red)[..., None]
-        return packed[..., 0]
+            if _fold_kind(ax) == "ring":
+                # fold local lanes to ONE point, then ring-reduce it
+                red = tree_reduce_points(P.point_from_limbs(curve, packed))
+                packed = C.ppermute_ring_reduce(
+                    P.point_limbs(red), ax, _fold_pt)[..., None]
+            else:
+                allp = C.all_gather(packed, ax, axis=2, tiled=True)
+                red = tree_reduce_points(P.point_from_limbs(curve, allp))
+                packed = P.point_limbs(red)[..., None]
+        _VMA_AXES = ()
+        return packed                                    # [3, n, 1] per dev
 
-    # the output is replicated by construction (every device folds the same
-    # all_gathered partials); the static varying-manual-axes checker cannot
-    # see through the fold, so it is disabled (jax.shard_map's documented
-    # check_vma escape hatch; requires jax >= 0.6 for the stable API)
+    # out_specs keeps the device axis: the body's result is *varying* over
+    # the mesh axes as far as the static checker can see (it cannot prove
+    # the fold replicates), so we return every device's — identical — copy
+    # and slice one on the host. check_vma stays at its safe default.
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(PS(None, axes), PS(None, axes), PS(axes), PS(None, axes)),
-        out_specs=PS(), check_vma=False,
+        out_specs=PS(None, None, axes),
     )
-    return fn(xs_l, ys_l, inf_mask, k_l)
+    return fn(xs_l, ys_l, inf_mask, k_l)[..., 0]
 
 
 @functools.lru_cache(maxsize=None)
 def _msm_jit(curve: CurveSpec, mesh, axis, terms, scalar_bits, method, w,
-             lanes, seg_unroll, hs_unroll):
+             lanes, seg_unroll, hs_unroll, reduce_method="auto",
+             signed=False):
     """Memoized jitted MSM kernel — `msm()` is a host entry called per
     aggregation; rebuilding the lambda each call would re-jit (and on
     XLA:CPU this program compiles in minutes, not seconds)."""
@@ -486,7 +602,7 @@ def _msm_jit(curve: CurveSpec, mesh, axis, terms, scalar_bits, method, w,
             kern = functools.partial(msm_pippenger, w=w, lanes=lanes,
                                      scalar_bits=scalar_bits,
                                      seg_unroll=seg_unroll,
-                                     hs_unroll=hs_unroll)
+                                     hs_unroll=hs_unroll, signed=signed)
         else:
             kern = functools.partial(msm_local, terms=terms,
                                      scalar_bits=scalar_bits)
@@ -497,7 +613,8 @@ def _msm_jit(curve: CurveSpec, mesh, axis, terms, scalar_bits, method, w,
     return jax.jit(functools.partial(
         msm_sharded, curve, mesh, axis, terms=terms,
         scalar_bits=scalar_bits, method=method, w=w, lanes=lanes,
-        seg_unroll=seg_unroll, hs_unroll=hs_unroll))
+        seg_unroll=seg_unroll, hs_unroll=hs_unroll,
+        reduce_method=reduce_method, signed=signed))
 
 
 @functools.lru_cache(maxsize=None)
@@ -508,7 +625,8 @@ def _to_affine_jit():
 def msm(curve: CurveSpec, points, scalars, mesh: Mesh | None = None,
         axis: str = "dp", terms: int = 8, scalar_bits=None,
         method: str = "auto", w: int = 13, lanes: int = 8192,
-        seg_unroll: int = 8, hs_unroll: int = 4):
+        seg_unroll: int = 8, hs_unroll: int = 4,
+        reduce_method: str = "auto", signed: bool = False):
     """Host entry: points = [(x, y) ints], scalars = [ints] -> affine (x, y).
 
     Pads to a lane/term/device-aligned size with identity points, packs, runs
@@ -545,7 +663,7 @@ def msm(curve: CurveSpec, points, scalars, mesh: Mesh | None = None,
     axis_t = (axis,) if isinstance(axis, str) else tuple(axis)
     out = _msm_jit(curve, mesh, axis_t if mesh is not None else None, terms,
                    scalar_bits, method, w, lanes, seg_unroll,
-                   hs_unroll)(xs_l, ys_l, inf_j, k_l)
+                   hs_unroll, reduce_method, signed)(xs_l, ys_l, inf_j, k_l)
 
     pt = P.point_from_limbs(curve, out)
     x, y, is_inf = _to_affine_jit()(pt)

@@ -26,26 +26,42 @@ from ..ops import scalarmul as SM
 def _dh_core(curve: CurveSpec):
     @jax.jit
     def core(qx, qy, d_raw):
+        import jax.numpy as jnp
+
         Q = P.from_affine(curve, qx, qy)
+        # peer-point curve membership INSIDE the library (the reference
+        # rejects off-curve keys at decode, primeorder/src/affine.rs:164-195;
+        # this batched entry point takes raw coordinates, so validate here —
+        # an off-curve peer point is the classic invalid-curve attack input)
+        valid = P.on_curve(Q)
         S = SM.scalar_mul(Q, d_raw)
         x, _, inf = P.to_affine(S)
+        ok = jnp.logical_and(valid, jnp.logical_not(inf))
         # one packed output = one D2H fetch (~30ms/round-trip tunnel)
-        import jax.numpy as jnp
         return jnp.concatenate(
-            [F.fe_to_words(x), inf.astype(jnp.uint32)[None]], axis=0)
+            [F.fe_to_words(x), ok.astype(jnp.uint32)[None]], axis=0)
 
     return core
 
 
 def diffie_hellman_batch(curve: CurveSpec, d_ints, peer_pts):
-    """Batched raw ECDH -> list of shared-secret x-coordinates (ints)."""
-    qx = F.fe_from_ints(curve.field, [q[0] for q in peer_pts])
-    qy = F.fe_from_ints(curve.field, [q[1] for q in peer_pts])
+    """Batched raw ECDH -> per-lane shared-secret x-coordinate (int), or
+    None where the lane failed (off-curve / out-of-range peer point, or an
+    identity result) — per-lane errors like the reference's per-call
+    Result, never a batch-wide failure."""
+    p = curve.p
+    pre_ok = [0 <= q[0] < p and 0 <= q[1] < p for q in peer_pts]
+    g = (curve.gx, curve.gy)
+    safe = [q if ok else g for q, ok in zip(peer_pts, pre_ok)]
+    qx = F.fe_from_ints(curve.field, [q[0] for q in safe])
+    qy = F.fe_from_ints(curve.field, [q[1] for q in safe])
     d_raw = SM.pack_scalars(curve, d_ints)
     packed = np.asarray(_dh_core(curve)(qx, qy, d_raw))  # ONE D2H fetch
     nwf = (curve.field.bits + 31) // 32
-    assert not packed[nwf].any(), "ECDH with identity result"
-    return F.ints_from_words(packed[:nwf])
+    ok = packed[nwf]
+    xs = F.ints_from_words(packed[:nwf])
+    return [x if (po and o) else None
+            for x, po, o in zip(xs, pre_ok, ok)]
 
 
 @dataclasses.dataclass
@@ -68,6 +84,8 @@ class EphemeralSecret:
 
     def diffie_hellman(self, peer_pt) -> "SharedSecret":
         (x,) = diffie_hellman_batch(self.curve, [self.d], [peer_pt])
+        if x is None:
+            raise ValueError("invalid peer public key (off-curve or identity)")
         return SharedSecret(self.curve, int_to_be_bytes(x, self.curve.field_bytes))
 
 

@@ -52,6 +52,21 @@ def hash_msg(curve: CurveSpec, msg: bytes, hashname=None) -> bytes:
     return hashlib.new(hashname, msg).digest()
 
 
+def hash_msgs(curve: CurveSpec, msgs, hashname=None) -> list:
+    """Batched message hashing. Uniform-length SHA-256 batches route through
+    the native C++ kernel (tpu_ecc/native/fastcrypt.cpp — ~10x the Python
+    hashlib loop at B=4096); anything else falls back per message."""
+    hashname = hashname or CURVE_HASH[curve.name]
+    if hashname == "sha256" and len(msgs) > 1 \
+            and len({len(m) for m in msgs}) == 1:
+        from ..native import sha256_batch
+
+        out = sha256_batch(list(msgs), len(msgs[0]))
+        if out is not None:
+            return out
+    return [hash_msg(curve, m, hashname) for m in msgs]
+
+
 def digest_to_z(curve: CurveSpec, digest: bytes) -> int:
     """bits2int: leftmost qlen bits (the ecdsa crate's bits2field,
     p521/src/ecdsa.rs:48-82 uses this for 512-bit digests vs 521-bit n)."""
@@ -70,14 +85,19 @@ def _sign_core(curve: CurveSpec, low_s: bool):
     f = curve.field
     sbits = s.bits
 
+    nww = (sbits + 31) // 32
+
     @jax.jit
-    def core(k_w, z_w, d_w):
+    def core(buf):
         """Packed-word IO (the host<->device link is the bottleneck; see
-        PERF.md): inputs are 32-bit word arrays; the output is ONE uint32
-        buffer [2*nww + 2, B] = r words | s words | recid | bad — every
-        separate device->host fetch costs a full ~30ms tunnel round trip,
-        and the former 7-output core paid it 7 times per batch. Low-s
+        PERF.md): input is ONE uint32 buffer [3*nww, B] = k | z | d words
+        (ONE H2D transfer — the former 3-input core paid the ~30ms tunnel
+        round trip three times per batch); the output is ONE uint32 buffer
+        [2*nww + 2, B] = r words | s words | recid | bad. Low-s
         normalization + RecoveryId fold on device (k256 ecdsa.rs:192-197)."""
+        k_w = buf[:nww]
+        z_w = buf[nww:2 * nww]
+        d_w = buf[2 * nww:3 * nww]
         k_raw = F.relimb(k_w, 32, s.limb_bits, s.n_limbs)
         k_mont = F.fe_from_words(s, k_w, sbits)
         z_mont = F.fe_from_words(s, z_w, sbits)
@@ -103,7 +123,6 @@ def _sign_core(curve: CurveSpec, low_s: bool):
                  | (r_overflow.astype(U32) << np.uint32(1)))
         r_zero = jnp.all(r_raw == 0, axis=0)
         s_zero = jnp.all(sig_raw == 0, axis=0)
-        nww = (sbits + 31) // 32
         pack = lambda limbs: F.relimb(limbs, s.limb_bits, 32, nww)  # noqa: E731
         return jnp.concatenate([
             pack(r_raw), pack(sig_out), recid[None],
@@ -138,6 +157,15 @@ def _verify_core(curve: CurveSpec):
         rn_valid = buf[o] == 1
         qx = F.fe_from_words(f, qx_w, fbits)
         qy = F.fe_from_words(f, qy_w, fbits)
+        # public-key curve-membership check INSIDE the library: an off-curve
+        # (x, y) must not reach the lincomb (the reference rejects it at
+        # decode, primeorder/src/affine.rs:164-195; here the batched entry
+        # point accepts raw coordinates, so the check is fused into verify)
+        rhs = F.fmul(F.fsquare(qx), qx)
+        if curve.a != 0:
+            rhs = rhs + F.fmul(F.fe_from_int(f, curve.a, bshape), qx)
+        rhs = rhs + F.fe_from_int(f, curve.b, bshape)
+        q_on_curve = F.feq(F.fsquare(qy), rhs)
         z_m = F.fe_from_words(s, z_w, sbits)
         r_m = F.fe_from_words(s, r_w, sbits)
         s_m = F.fe_from_words(s, s_w, sbits)
@@ -157,13 +185,66 @@ def _verify_core(curve: CurveSpec):
         ok1 = F.feq(R.x, F.fmul(r_f, R.z))
         ok2 = jnp.logical_and(rn_valid, F.feq(R.x, F.fmul(rn_f, R.z)))
         not_inf = jnp.logical_not(P.is_identity(R))
-        return jnp.logical_and(not_inf, jnp.logical_or(ok1, ok2))
+        ok = jnp.logical_and(not_inf, jnp.logical_or(ok1, ok2))
+        return jnp.logical_and(q_on_curve, ok)
 
     return core
 
 
+DEFAULT_CHUNK = 8192
+"""Pipeline chunk: batches larger than this are split and streamed through
+the device with host prep / H2D / compute / D2H overlapped (JAX async
+dispatch + copy_to_host_async); smaller batches run as one dispatch."""
+
+
+def _run_pipelined(core, prep, B, chunk, pad_col, depth: int = 3):
+    """Chunked host<->device pipeline shared by the batched protocol shells.
+
+    Splits [0, B) into `chunk`-sized slices; for each, `prep(slice)` builds
+    the packed uint32 host buffer (hashing/nonces/word packing), which is
+    dispatched to `core` WITHOUT blocking — while the device works on chunk
+    i, the host preps chunk i+1 and the finished chunk i-1 streams back
+    via copy_to_host_async. Closes the r3 gap where e2e protocol rates sat
+    ~13x below the device marginal rate (the shell was fully synchronous).
+
+    The tail chunk is padded to `chunk` columns with `pad_col` (a valid
+    dummy lane) so every dispatch hits the same compiled program.
+    Returns the concatenated [rows, B] result (padding sliced off).
+    """
+    from collections import deque
+
+    if not chunk:
+        chunk = DEFAULT_CHUNK
+    chunk = max(1, min(chunk, B))
+    pending: deque = deque()
+    outs = []
+
+    def drain(limit):
+        while len(pending) > limit:
+            arr = np.asarray(pending.popleft())
+            outs.append(arr if arr.ndim == 2 else arr[None])
+
+    for st in range(0, B, chunk):
+        en = min(st + chunk, B)
+        buf = prep(slice(st, en))
+        if en - st < chunk:
+            buf = np.concatenate(
+                [buf, np.broadcast_to(pad_col, (buf.shape[0],
+                                                chunk - (en - st)))], axis=1)
+        dev = core(jnp.asarray(buf))
+        try:
+            dev.copy_to_host_async()
+        except Exception:
+            pass                     # backend without async D2H: still correct
+        pending.append(dev)
+        drain(depth - 1)
+    drain(0)
+    packed = outs[0] if len(outs) == 1 else np.concatenate(outs, axis=1)
+    return packed[:, :B]
+
+
 def sign_batch(curve: CurveSpec, d_ints, z_ints, k_ints=None, hashname=None,
-               low_s=None):
+               low_s=None, _raw_flags=False, chunk=None):
     """Batched deterministic ECDSA. Returns (r, s, recovery_id) int lists.
 
     Nonces come from RFC 6979 host-side (like the reference's SignPrimitive
@@ -177,52 +258,111 @@ def sign_batch(curve: CurveSpec, d_ints, z_ints, k_ints=None, hashname=None,
             " (p192/src/ecdsa.rs:36-51)")
     low_s = (curve.name in LOW_S_CURVES) if low_s is None else low_s
     hashname = hashname or CURVE_HASH[curve.name]
-    if k_ints is None:
-        nb = (n.bit_length() + 7) // 8
-        k_ints = rfc6979.generate_k_batch(
-            n, d_ints, [int(z).to_bytes(nb, "big") for z in z_ints], hashname)
+    caller_k = k_ints is not None
     s = curve.scalar
-    w = lambda vals: jnp.asarray(F.words_from_ints(vals, s.bits))  # noqa: E731
+    nb = (n.bit_length() + 7) // 8
     core = _sign_core(curve, bool(low_s))
-    packed = np.asarray(core(                       # ONE ~30ms D2H fetch
-        w(k_ints), w([z % n for z in z_ints]), w(d_ints)))
+
+    def prep(sl):
+        """Host work for one chunk: nonces + ONE packed input buffer."""
+        z_c = [z % n for z in z_ints[sl]]
+        d_c = list(d_ints[sl])
+        if caller_k:
+            k_c = list(k_ints[sl])
+        else:
+            k_c = rfc6979.generate_k_batch(
+                n, d_c, [int(z).to_bytes(nb, "big") for z in z_c], hashname)
+        return np.concatenate(
+            [F.words_from_ints(v, s.bits) for v in (k_c, z_c, d_c)], axis=0)
+
+    pad = np.concatenate(
+        [F.words_from_ints([v], s.bits) for v in (1, 0, 1)], axis=0)
+    packed = _run_pipelined(core, prep, len(d_ints), chunk, pad_col=pad)
     nww = (s.bits + 31) // 32
     rs = F.ints_from_words(packed[:nww])
     ss = F.ints_from_words(packed[nww:2 * nww])
     recid = packed[2 * nww]
-    assert not packed[2 * nww + 1].any(), "r or s is zero (re-sign with fresh k)"
-    return [(r_i, s_i, int(rc)) for r_i, s_i, rc in zip(rs, ss, recid)]
+    out = [(r_i, s_i, int(rc)) for r_i, s_i, rc in zip(rs, ss, recid)]
+    if _raw_flags:
+        return [sig + (bool(b),)
+                for sig, b in zip(out, packed[2 * nww + 1])]
+    bad = np.flatnonzero(packed[2 * nww + 1])
+    if bad.size:
+        # r == 0 or s == 0 (probability ~2^-250, but adversarially reachable
+        # with a caller-chosen k): the reference re-enters the nonce loop
+        # per call instead of failing (RFC 6979 §3.2 step h.3 / the ecdsa
+        # crate's retry with added entropy). Re-sign only the bad lanes.
+        if k_ints is not None:
+            raise ValueError(f"r or s is zero for caller-supplied k at "
+                             f"lanes {bad.tolist()[:8]}")
+        nb = (n.bit_length() + 7) // 8
+        for i in map(int, bad):
+            retry, sig_i = 1, None
+            while sig_i is None or sig_i[3]:
+                k_i = rfc6979.generate_k(
+                    n, d_ints[i], int(z_ints[i] % n).to_bytes(nb, "big"),
+                    hashname, extra=retry.to_bytes(4, "big"))
+                sig_i = sign_batch(curve, [d_ints[i]], [z_ints[i]],
+                                   k_ints=[k_i], hashname=hashname,
+                                   low_s=low_s, _raw_flags=True)[0]
+                retry += 1
+            out[i] = sig_i[:3]
+    return out
 
 
-def verify_batch(curve: CurveSpec, pub_pts, z_ints, sigs, low_s=None):
+def verify_batch(curve: CurveSpec, pub_pts, z_ints, sigs, low_s=None,
+                 chunk=None):
     """Batched verify. pub_pts: list of (x, y); sigs: list of (r, s).
     Returns list[bool]. Host does only range/policy checks and word packing;
-    all algebra (s^-1, u1/u2, lincomb, x==r) runs on device."""
+    all algebra (s^-1, u1/u2, lincomb, x==r, pubkey on-curve) runs on device,
+    chunk-pipelined for big batches (_run_pipelined).
+
+    Public-key validation happens HERE, not in the caller: coordinates out
+    of [0, p) are rejected host-side (a value >= p would alias mod p on
+    device), curve membership is checked on device inside the verify core
+    (the reference enforces both at decode, primeorder/src/affine.rs:164-195).
+    """
     n, p = curve.n, curve.p
     low_s = (curve.name in LOW_S_CURVES) if low_s is None else low_s
     s = curve.scalar
     f = curve.field
-    pre_ok, r_l, s_l, z_l, rn_valid = [], [], [], [], []
-    for (r, sg), z in zip(sigs, z_ints):
-        ok = 0 < r < n and 0 < sg < n
-        if low_s and sg > n // 2:
-            ok = False
-        pre_ok.append(ok)
-        r_l.append(r if ok else 1)
-        s_l.append(sg if ok else 1)
-        z_l.append(z % n)
-        rn_valid.append(r + n < p)
-    buf = np.concatenate([
-        F.words_from_ints([q[0] for q in pub_pts], f.bits),
-        F.words_from_ints([q[1] for q in pub_pts], f.bits),
-        F.words_from_ints(z_l, s.bits),
-        F.words_from_ints(r_l, s.bits),
-        F.words_from_ints(s_l, s.bits),
-        np.array(rn_valid, np.uint32)[None],
+    pre_ok = []
+
+    def prep(sl):
+        r_l, s_l, z_l, rn_valid, qx_l, qy_l = [], [], [], [], [], []
+        for (r, sg), z, (qx, qy) in zip(sigs[sl], z_ints[sl], pub_pts[sl]):
+            ok = 0 < r < n and 0 < sg < n
+            if not (0 <= qx < p and 0 <= qy < p):
+                ok = False
+            if low_s and sg > n // 2:
+                ok = False
+            pre_ok.append(ok)
+            r_l.append(r if ok else 1)
+            s_l.append(sg if ok else 1)
+            qx_l.append(qx if ok else curve.gx)
+            qy_l.append(qy if ok else curve.gy)
+            z_l.append(z % n)
+            rn_valid.append(r + n < p)
+        return np.concatenate([
+            F.words_from_ints(qx_l, f.bits),
+            F.words_from_ints(qy_l, f.bits),
+            F.words_from_ints(z_l, s.bits),
+            F.words_from_ints(r_l, s.bits),
+            F.words_from_ints(s_l, s.bits),
+            np.array(rn_valid, np.uint32)[None],
+        ], axis=0)
+
+    pad = np.concatenate([
+        F.words_from_ints([curve.gx], f.bits),
+        F.words_from_ints([curve.gy], f.bits),
+        F.words_from_ints([0], s.bits),
+        F.words_from_ints([1], s.bits),
+        F.words_from_ints([1], s.bits),
+        np.ones((1, 1), np.uint32),
     ], axis=0)
     core = _verify_core(curve)
-    ok = np.asarray(core(jnp.asarray(buf)))
-    return [bool(a and b) for a, b in zip(pre_ok, ok)]
+    raw = _run_pipelined(core, prep, len(sigs), chunk, pad_col=pad)
+    return [bool(a and b) for a, b in zip(pre_ok, raw[0])]
 
 
 def _unpack_raw(spec, raw) -> list[int]:
@@ -280,31 +420,43 @@ def _recover_core(curve: CurveSpec):
     return core
 
 
-def recover_batch(curve: CurveSpec, z_ints, sigs):
+def recover_batch(curve: CurveSpec, z_ints, sigs, chunk=None):
     """Batched public-key recovery on device. sigs: list of (r, s, recid).
     Returns list of affine (x, y) or None (k256 RecoveryId semantics:
     bit 0 = y parity, bit 1 = x overflowed the order)."""
     n, p = curve.n, curve.p
     f = curve.field
-    pre_ok, xs, zs, rl, sl, odd = [], [], [], [], [], []
-    for (r, sg, recid), z in zip(sigs, z_ints):
-        x = r + (n if recid & 2 else 0)
-        ok = 0 < r < n and 0 < sg < n and x < p
-        pre_ok.append(ok)
-        xs.append(x if ok else curve.gx)
-        rl.append(r if ok else 1)
-        sl.append(sg if ok else 1)
-        zs.append(z % n)
-        odd.append(recid & 1)
     s = curve.scalar
-    buf = np.concatenate([
-        F.words_from_ints(xs, f.bits),
-        F.words_from_ints(zs, s.bits),
-        F.words_from_ints(rl, s.bits),
-        F.words_from_ints(sl, s.bits),
-        np.array(odd, np.uint32)[None],
+    pre_ok = []
+
+    def prep(sl_):
+        xs, zs, rl, sl, odd = [], [], [], [], []
+        for (r, sg, recid), z in zip(sigs[sl_], z_ints[sl_]):
+            x = r + (n if recid & 2 else 0)
+            ok = 0 < r < n and 0 < sg < n and x < p
+            pre_ok.append(ok)
+            xs.append(x if ok else curve.gx)
+            rl.append(r if ok else 1)
+            sl.append(sg if ok else 1)
+            zs.append(z % n)
+            odd.append(recid & 1)
+        return np.concatenate([
+            F.words_from_ints(xs, f.bits),
+            F.words_from_ints(zs, s.bits),
+            F.words_from_ints(rl, s.bits),
+            F.words_from_ints(sl, s.bits),
+            np.array(odd, np.uint32)[None],
+        ], axis=0)
+
+    pad = np.concatenate([
+        F.words_from_ints([curve.gx], f.bits),
+        F.words_from_ints([0], s.bits),
+        F.words_from_ints([1], s.bits),
+        F.words_from_ints([1], s.bits),
+        np.zeros((1, 1), np.uint32),
     ], axis=0)
-    packed = np.asarray(_recover_core(curve)(jnp.asarray(buf)))
+    packed = _run_pipelined(_recover_core(curve), prep, len(sigs), chunk,
+                            pad_col=pad)
     nwf = (f.bits + 31) // 32
     qxs = F.ints_from_words(packed[:nwf])
     qys = F.ints_from_words(packed[nwf:2 * nwf])
