@@ -31,12 +31,21 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
 RESULTS = []
 
 
-def record(name, curve, batch, per_call_s, value, unit):
-    RESULTS.append({"name": name, "curve": curve, "batch": batch,
-                    "secs_per_call": per_call_s, "value": round(value, 1),
-                    "unit": unit})
+def record(name, curve, batch, per_call_s, value, unit, tries=None):
+    """One bench row. `tries`: the per-attempt rates behind the reported
+    best — recorded so the co-tenant-stall dispersion on this shared-pool
+    chip is visible per row (VERDICT r3: numbers had unrecorded ±60%
+    error bars)."""
+    row = {"name": name, "curve": curve, "batch": batch,
+           "secs_per_call": per_call_s, "value": round(value, 1),
+           "unit": unit}
+    if tries:
+        row["tries"] = [round(t, 1) for t in tries]
+        row["spread"] = round(min(tries) / max(max(tries), 1e-9), 3)
+    RESULTS.append(row)
+    disp = f"  (n={len(tries)}, min/max={row['spread']})" if tries else ""
     print(f"  {name:28s} {curve:10s} B={batch:<8d} "
-          f"{per_call_s*1e3:9.3f} ms/call  {value:.3e} {unit}",
+          f"{per_call_s*1e3:9.3f} ms/call  {value:.3e} {unit}{disp}",
           file=sys.stderr)
 
 
@@ -65,8 +74,9 @@ def diff_rate(step, out0, work_per_call, c1=16, c2=80, tries=3):
     dependency chain (each closed by a real fetch) and divide the extra work
     by the extra time. Fetch latency, dispatch ramp and any fixed per-window
     cost cancel in the difference; the max over `tries` rejects co-tenant
-    stalls on the shared-pool chip."""
-    best = 0.0
+    stalls on the shared-pool chip. Returns (best, out, per_try_rates) so
+    callers can record the dispersion."""
+    rates = []
     out = out0
     for _ in range(tries):
         def run(count, out):
@@ -78,8 +88,8 @@ def diff_rate(step, out0, work_per_call, c1=16, c2=80, tries=3):
         t1, out = run(c1, out)
         t2, out = run(c2, out)
         if t2 > t1:
-            best = max(best, (c2 - c1) * work_per_call / (t2 - t1))
-    return best, out
+            rates.append((c2 - c1) * work_per_call / (t2 - t1))
+    return (max(rates) if rates else 0.0), out, rates
 
 
 def headline(curve, B=8192, repeat=16, iters=64):
@@ -119,13 +129,13 @@ def headline(curve, B=8192, repeat=16, iters=64):
     def measure(fn):
         out = fn(a_l, b_l)
         _fetch(out)              # compile + warmup
-        rate, out = diff_rate(lambda o: fn(o, b_l), out, repeat * B,
-                              c1=iters // 4, c2=iters + iters // 4)
-        return rate, out
+        rate, out, rr = diff_rate(lambda o: fn(o, b_l), out, repeat * B,
+                                  c1=iters // 4, c2=iters + iters // 4)
+        return rate, out, rr
 
-    xla_rate, xla_out = measure(chain)
+    xla_rate, xla_out, rr = measure(chain)
     record("point_add_xla", curve.name, B, repeat * B / xla_rate, xla_rate,
-           "adds/s")
+           "adds/s", tries=rr)
     best = xla_rate
     try:
         from tpu_ecc.ops.pallas_kernels import padd_chain_call
@@ -134,9 +144,9 @@ def headline(curve, B=8192, repeat=16, iters=64):
         assert jnp.array_equal(np.asarray(chain(a_l, b_l)),
                                np.asarray(kern(a_l, b_l))), \
             "pallas chain != xla chain"
-        k_rate, _ = measure(kern)
+        k_rate, _, rr = measure(kern)
         record("point_add_pallas", curve.name, B, repeat * B / k_rate, k_rate,
-               "adds/s")
+               "adds/s", tries=rr)
         best = max(best, k_rate)
     except Exception as e:  # no Mosaic on this backend: XLA number stands
         print(f"  (pallas path unavailable: {type(e).__name__}: {e})",
@@ -259,7 +269,7 @@ def bench_scalarmul(curve, B=1024, iters=4):
     record("lincomb_2term", curve.name, B, t, B / t, "lincombs/s")
 
 
-def bench_ecdsa(name, B=8192, chunk=2048, iters=3):
+def bench_ecdsa(name, B=8192, chunk=4096, iters=3):
     """End-to-end sign/verify/recover: host prep (RFC 6979, word packing)
     + chunk-pipelined device cores + D2H (protocols/ecdsa._run_pipelined).
 
@@ -390,16 +400,11 @@ def main():
         for name in ("secp256k1", "p256", "p384"):
             bench_ecdsa(name)
         # fused kernels (segscan + grid-stepped fixup/bucket/horner) are the
-        # TPU default since round 3; --msm-xla adds the graph-path row
-        bench_msm(k256, log_n=20)
-        # signed-digit recoding (round-4 lever): halved buckets -> one more
-        # window bit at the same bucket budget -> fewer payload-gather passes
-        bench_msm(k256, log_n=20, w=14, tag="_signed_w14", signed=True)
-        if "--msm-w" in sys.argv:
-            bench_msm(k256, log_n=20, w=15, lanes=8192, tag="_signed_w15",
-                      signed=True)
-            bench_msm(k256, log_n=20, w=16, lanes=8192, tag="_signed_w16",
-                      signed=True)
+        # TPU default since round 3; signed-digit w=14 recoding (halved
+        # buckets, in-kernel y-negation) is the round-4 production default —
+        # the headline row. --msm-xla adds the graph-path row.
+        bench_msm(k256, log_n=20, w=14, signed=True)
+        bench_msm(k256, log_n=20, w=13, tag="_unsigned_w13")
         if "--msm-xla" in sys.argv:
             bench_msm(k256, log_n=20, kernels=False, tag="_xla")
         import jax

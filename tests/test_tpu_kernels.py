@@ -48,7 +48,8 @@ def _scalars(c, rng, n=B):
 def _affine(c, limbs):
     x, y, inf = jax.jit(P.to_affine)(
         P.point_from_limbs(c, jnp.asarray(np.asarray(limbs))))
-    return (F.fe_to_ints(x), F.fe_to_ints(y), np.asarray(inf).tolist())
+    return (F.fe_to_ints(x), F.fe_to_ints(y),
+            np.atleast_1d(np.asarray(inf)).tolist())
 
 
 def _ab(fn, *args, env=None):
@@ -211,10 +212,17 @@ def test_msm_kernels_bitequal(rng):
     assert not infs[0] and (xs[0], ys[0]) == acc
 
 
-def test_msm_straus_kernel_bitequal(rng):
+def test_msm_straus_kernel_affine_equal(rng):
     """The Straus (secret-scalar) MSM path routed through the fused ladder
     kernels (msm._lincomb_terms -> scalarmul.lincomb_auto, GLV on k256) vs
-    the XLA stacked-table path, bitwise, plus host oracle."""
+    the XLA stacked-table path — AFFINE equality + host oracle.
+
+    Affine, not bitwise: the two branches run different algorithms by
+    design (kernels-on: signed-digit GLV shared-table ladder; kernels-off:
+    the portable unsigned stacked-table scan), so projective
+    representatives differ. (The r3 snapshot landed this assert as bitwise
+    and untested — it can never hold; the mirrored-algorithm bitwise gates
+    are test_ladder/test_genmul/test_pow/test_msm_kernels.)"""
     from tpu_ecc.parallel import msm as M
 
     c = get_curve("secp256k1")
@@ -245,9 +253,10 @@ def test_msm_straus_kernel_bitequal(rng):
 
     got = run(True)
     want = run(False)
-    assert np.array_equal(got, want), "kernel Straus MSM != XLA Straus MSM"
-    xs, ys, infs = _affine(c, got)
     acc = None
     for p_, k_ in zip(pts, ks):
         acc = H.aff_add(c, acc, H.aff_mul(c, k_, p_))
-    assert not infs[0] and (xs[0], ys[0]) == acc
+    xs, ys, infs = _affine(c, got)
+    assert not infs[0] and (xs[0], ys[0]) == acc, "kernel Straus != oracle"
+    xs, ys, infs = _affine(c, want)
+    assert not infs[0] and (xs[0], ys[0]) == acc, "XLA Straus != oracle"

@@ -461,7 +461,8 @@ def padd_chain_call(curve: CurveSpec, batch: int, block: int, repeat: int):
 
 @functools.lru_cache(maxsize=None)
 def segscan_call(curve: CurveSpec, C: int, L: int, nbuck: int,
-                 Cb: int = 8, Lb: int = 1024, interpret: bool = False):
+                 Cb: int = 8, Lb: int = 1024, interpret: bool = False,
+                 signed: bool = False):
     """Fused segmented-scan kernel for the Pippenger bucket accumulation
     (parallel/msm.py): each of L lanes serially accumulates its chunk of C
     digit-sorted points, resetting on key change. The entire C-long serial
@@ -475,6 +476,11 @@ def segscan_call(curve: CurveSpec, C: int, L: int, nbuck: int,
     key equals the lane's first key) — tracked in-kernel so the caller
     avoids a lane-indexed take_along_axis over the [C, 3, n, L] output
     (a minor-axis gather, ~5 ms per 2^20 window on v5e).
+    signed=True adds a neg2 [C, L] input (signed-digit Pippenger): points
+    whose digit was negative are y-negated IN-KERNEL before accumulation —
+    register-level VPU work (kneg mirrors fe.fneg through the shared
+    _sub_bias, so the kernel stays bit-equal to the XLA path), vs the
+    ~15 ms/window a second payload table or a post-sort neg gather cost.
     Grid: (L/Lb lane blocks) x (C/Cb row chunks, innermost; the scratch
     carry persists across the sequential TPU grid).
     """
@@ -495,8 +501,13 @@ def segscan_call(curve: CurveSpec, C: int, L: int, nbuck: int,
     from ..utils.bigint import int_to_limbs
     one_limbs = int_to_limbs(f.encode_int(1), n, f.limb_bits)
 
-    def body(key_ref, val_ref, out_ref, lk_ref, tail_ref, lead_ref,
-             pk_ref, acc_ref, fk_ref, lead_scr):
+    def body(key_ref, val_ref, *refs):
+        if signed:
+            neg_ref, out_ref, lk_ref, tail_ref, lead_ref, \
+                pk_ref, acc_ref, fk_ref, lead_scr = refs
+        else:
+            out_ref, lk_ref, tail_ref, lead_ref, \
+                pk_ref, acc_ref, fk_ref, lead_scr = refs
         ci = pl.program_id(1)
 
         @pl.when(ci == 0)
@@ -517,6 +528,10 @@ def segscan_call(curve: CurveSpec, C: int, L: int, nbuck: int,
         for r in range(Cb):
             k = key_ref[r, :, :]
             v = [[val_ref[r, c, i, :, :] for i in range(n)] for c in range(3)]
+            if signed:
+                ng = neg_ref[r, :, :] != 0
+                yn = K.ksteady(K.kneg(K.kfe_from_rows(f, v[1])))
+                v[1] = [jnp.where(ng, yn.limbs[i], v[1][i]) for i in range(n)]
             A = [K.kfe_from_rows(f, rows) for rows in acc]
             V = [K.kfe_from_rows(f, rows) for rows in v]
             cand = [K.ksteady(x) for x in _KADD[curve.strategy](curve, *A, *V)]
@@ -553,9 +568,14 @@ def segscan_call(curve: CurveSpec, C: int, L: int, nbuck: int,
     tv = pl.BlockSpec((3, n, S, 128), lambda l, c: (0, 0, l, 0),
                       memory_space=pltpu.VMEM)
 
-    def run(key2, val2):
+    def run(key2, val2, neg2=None):
         k4 = key2.reshape(C, rowsL, 128)
         v5 = val2.reshape(C, 3, n, rowsL, 128)
+        ins = [k4, v5]
+        in_specs = [kv, vv]
+        if signed:
+            ins.append(neg2.reshape(C, rowsL, 128))
+            in_specs.append(kv)
         scanned, lk, tail, lead = pl.pallas_call(
             body,
             out_shape=(jax.ShapeDtypeStruct((C, 3, n, rowsL, 128), jnp.uint32),
@@ -563,14 +583,14 @@ def segscan_call(curve: CurveSpec, C: int, L: int, nbuck: int,
                        jax.ShapeDtypeStruct((3, n, rowsL, 128), jnp.uint32),
                        jax.ShapeDtypeStruct((3, n, rowsL, 128), jnp.uint32)),
             grid=(GL, GC),
-            in_specs=[kv, vv],
+            in_specs=in_specs,
             out_specs=(ov, lkv, tv, tv),
             scratch_shapes=[pltpu.VMEM((S, 128), jnp.uint32),
                             pltpu.VMEM((3, n, S, 128), jnp.uint32),
                             pltpu.VMEM((S, 128), jnp.uint32),
                             pltpu.VMEM((3, n, S, 128), jnp.uint32)],
             interpret=interpret,
-        )(k4, v5)
+        )(*ins)
         return (scanned.reshape(C, 3, n, L), lk.reshape(L),
                 tail.reshape(3, n, L), lead.reshape(3, n, L))
 
@@ -588,19 +608,38 @@ def _ident_rows(f, shape):
 def _shift_flat_dyn(x, s, forward: bool):
     """_shift_flat with a TRACED shift amount (pltpu.roll supports dynamic
     shifts): forward=True -> y[j] = x[j+s] over the flattened S*128 index.
-    The r == 0 sub-case falls out of the lane select (b is never chosen)."""
+    The r == 0 sub-case falls out of the lane select (b is never chosen).
+
+    Small-S sublane rolls (S <= 4) are emitted as a select chain of STATIC
+    rolls: the Mosaic remote compiler crashes (tpu_compile_helper exit 1)
+    on dynamic sublane rolls of tiny axes — only small TEST shapes hit
+    this (production L=8192 -> S=64); S == 1 elides the roll entirely (a
+    roll of a size-1 axis is the identity for any shift)."""
     S = x.shape[0]
+
+    def roll0(v, amt):
+        # amt: traced, already reduced mod S
+        if S == 1:
+            return v
+        if S <= 4:
+            out = v
+            for t in range(1, S):
+                out = jnp.where(amt == np.uint32(t),
+                                pltpu.roll(v, t, axis=0), out)
+            return out
+        return pltpu.roll(v, amt, axis=0)
+
     q = s >> np.uint32(7)
     r = s & np.uint32(127)
     lane = jax.lax.broadcasted_iota(jnp.uint32, (S, 128), 1)
     if forward:
-        z = pltpu.roll(x, (np.uint32(S) - q) % np.uint32(S), axis=0)
+        z = roll0(x, (np.uint32(S) - q) % np.uint32(S))
         a = pltpu.roll(z, (np.uint32(128) - r) % np.uint32(128), axis=1)
-        b = pltpu.roll(a, S - 1, axis=0)
+        b = a if S == 1 else pltpu.roll(a, S - 1, axis=0)
         return jnp.where(lane < np.uint32(128) - r, a, b)
-    z = pltpu.roll(x, q, axis=0)
+    z = roll0(x, q)
     a = pltpu.roll(z, r, axis=1)
-    b = pltpu.roll(a, 1, axis=0)
+    b = a if S == 1 else pltpu.roll(a, 1, axis=0)
     return jnp.where(lane >= r, a, b)
 
 

@@ -332,16 +332,8 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
     # every transpose is materialized behind an optimization_barrier so the
     # sequential scan reads contiguous [3, n, L] slices instead of re-doing
     # a strided transpose per step.
-    pl_major = jnp.moveaxis(pl.reshape(3 * n, N), -1, 0)    # [N, 3n]
-    if signed:
-        # pre-negated twin table: rows N..2N-1 hold (x, -y, z), built ONCE —
-        # the per-window gather then selects P or -P with the same single
-        # row lookup (index order + neg*N)
-        yn = F._steady(F.fneg(F.FE(pl[1], f, f.mask, f.carried_vmax)))
-        pl_neg = jnp.stack([pl[0], yn.limbs, pl[2]])
-        pl_major = jnp.concatenate(
-            [pl_major, jnp.moveaxis(pl_neg.reshape(3 * n, N), -1, 0)], axis=0)
-    pl_major = jax.lax.optimization_barrier(pl_major)
+    pl_major = jax.lax.optimization_barrier(
+        jnp.moveaxis(pl.reshape(3 * n, N), -1, 0))          # [N, 3n]
 
     ident1 = P.point_limbs(P.identity(curve))               # [3, n]
     ident_L = jnp.broadcast_to(ident1[..., None], (3, n, L))
@@ -349,19 +341,37 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
     lsteps = max(L.bit_length() - 1, 0)
 
     def window(acc_l, dig):
+        # 1) sort by digit; gather the point payload as contiguous rows.
+        # One sort_key_val yields keys AND the payload row index (argsort is
+        # sort_key_val internally; a separate dig[order] re-gather cost
+        # ~5 ms/window). Signed mode rides the sign bit in bit 31 of the
+        # carried row index — NO extra gather and NO doubled payload table
+        # (both measured to cost ~the one window the recoding saves: a
+        # post-sort neg[order] lookup is row-count-bound like any gather,
+        # and a 2N-row twin table slows every payload gather ~6%); the
+        # y-negation happens IN-KERNEL in the segmented scan (segscan_call
+        # signed=True), where it is register-level VPU work.
         if signed:
             dig, neg = dig
-        # 1) sort by digit; gather the point payload as contiguous rows.
-        # One sort_key_val yields keys AND order (argsort is sort_key_val
-        # internally; a separate dig[order] re-gather cost ~5 ms/window).
-        skey, order = jax.lax.sort_key_val(
-            dig, jnp.arange(N, dtype=jnp.int32))
-        ridx = order
-        if signed:                    # row N+i = the pre-negated twin of i
-            ridx = order + jnp.take(neg, order).astype(jnp.int32) * N
+            rows0 = jnp.arange(N, dtype=U32) | (neg << np.uint32(31))
+        else:
+            rows0 = jnp.arange(N, dtype=U32)
+        skey, ridx = jax.lax.sort_key_val(dig, rows0)
+        if signed:
+            neg_sorted = ridx >> np.uint32(31)              # [N]
+            ridx = (ridx & np.uint32(0x7FFFFFFF)).astype(jnp.int32)
         smaj = jnp.take(pl_major, ridx, axis=0)             # [N, 3n]
         # 2) chunk layout: lane l holds sorted[l*C : (l+1)*C]
         key2 = skey.reshape(L, C).T                         # [C, L]
+        if signed and not use_k:
+            # portable path: negate gathered y rows where the digit was
+            # negative (the kernel path negates inside segscan_call instead;
+            # fneg/kneg share fe._sub_bias, so both stay bit-equal)
+            y_l = smaj[:, n:2 * n].T                        # [n, N]
+            yn = F._steady(F.fneg(F.fe_steady(f, y_l))).limbs
+            y_sel = jnp.where(neg_sorted[None, :] == 1, yn, y_l)
+            smaj = jnp.concatenate(
+                [smaj[:, :n], y_sel.T, smaj[:, 2 * n:]], axis=1)
         val2 = jax.lax.optimization_barrier(
             jnp.moveaxis(smaj.reshape(L, C, 3 * n), 0, -1)
             .reshape(C, 3, n, L))                           # [C, 3, n, L]
@@ -378,8 +388,14 @@ def msm_pippenger(curve: CurveSpec, xs, ys, inf_mask, k_limbs, w: int = 13,
 
         if use_k:
             from ..ops import pallas_kernels as PK
-            scanned, last_key, t_l, lead_vals = PK.segscan_call(
-                curve, C, L, nbuck, interpret=_interp)(key2, val2)
+            if signed:
+                neg2 = neg_sorted.reshape(L, C).T           # [C, L]
+                scanned, last_key, t_l, lead_vals = PK.segscan_call(
+                    curve, C, L, nbuck, interpret=_interp,
+                    signed=True)(key2, val2, neg2)
+            else:
+                scanned, last_key, t_l, lead_vals = PK.segscan_call(
+                    curve, C, L, nbuck, interpret=_interp)(key2, val2)
         else:
             init = (_as_varying(jnp.full((L,), nbuck, U32)),
                     _as_varying(ident_L))           # nbuck != any key
@@ -624,9 +640,9 @@ def _to_affine_jit():
 
 def msm(curve: CurveSpec, points, scalars, mesh: Mesh | None = None,
         axis: str = "dp", terms: int = 8, scalar_bits=None,
-        method: str = "auto", w: int = 13, lanes: int = 8192,
+        method: str = "auto", w: int | None = None, lanes: int = 8192,
         seg_unroll: int = 8, hs_unroll: int = 4,
-        reduce_method: str = "auto", signed: bool = False):
+        reduce_method: str = "auto", signed: bool | None = None):
     """Host entry: points = [(x, y) ints], scalars = [ints] -> affine (x, y).
 
     Pads to a lane/term/device-aligned size with identity points, packs, runs
@@ -644,6 +660,14 @@ def msm(curve: CurveSpec, points, scalars, mesh: Mesh | None = None,
         D = int(np.prod([mesh.shape[a] for a in axes]))
     if method == "auto":
         method = "pippenger" if N // max(D, 1) >= (1 << 14) else "straus"
+    # signed-digit recoding is the Pippenger default (halved buckets -> one
+    # more window bit at the same bucket budget; w=14 signed measured 2.12e6
+    # vs 2.07e6 pts/s unsigned w=13 at 2^20 on v5e); pass signed=False /
+    # w=13 to revert. Straus ignores both.
+    if signed is None:
+        signed = method == "pippenger"
+    if w is None:
+        w = 14 if signed else 13
     if method == "pippenger":
         lanes = min(lanes, 1 << max((N // max(D, 1)).bit_length() - 3, 3))
         unit = lanes * D

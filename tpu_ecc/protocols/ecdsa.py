@@ -191,10 +191,13 @@ def _verify_core(curve: CurveSpec):
     return core
 
 
-DEFAULT_CHUNK = 8192
+DEFAULT_CHUNK = 4096
 """Pipeline chunk: batches larger than this are split and streamed through
 the device with host prep / H2D / compute / D2H overlapped (JAX async
-dispatch + copy_to_host_async); smaller batches run as one dispatch."""
+dispatch + copy_to_host_async); smaller batches run as one dispatch.
+4096 is the measured sweet spot on v5e behind the axon tunnel (verify
+marginal at B=8192: 6.5e4/s @1024, 2.1e5 @2048, 3.2e5 @4096, 1.1e5 @8192
+— small chunks pay per-dispatch overhead, one big chunk can't overlap)."""
 
 
 def _run_pipelined(core, prep, B, chunk, pad_col, depth: int = 3):
