@@ -63,12 +63,18 @@ def ppermute_ring_reduce(x, mesh_axis: str, fold):
 
     `fold` must be associative+commutative over the payload (point addition
     is). Every device ends with the identical full reduction.
+
+    The D-1 steps run inside ONE lax.scan body so the fold traces once —
+    unrolled, the sharded-MSM program grew from 75k to 133k jaxpr lines at
+    D=8 (COMPILE.md round 4).
     """
     D = axis_size(mesh_axis)
     perm = [(i, (i + 1) % D) for i in range(D)]
-    acc, send = x, x
-    for _ in range(D - 1):
+
+    def step(carry, _):
+        acc, send = carry
         recv = jax.lax.ppermute(send, mesh_axis, perm=perm)
-        acc = fold(acc, recv)
-        send = recv
+        return (fold(acc, recv), recv), None
+
+    (acc, _), _ = jax.lax.scan(step, (x, x), None, length=D - 1)
     return acc
