@@ -172,12 +172,15 @@ def bench_field(curve, B=8192, iters=32):
             return F._steady(op(*fes)).limbs
         return jax.jit(fn)
 
-    t = time_fn(wrap(F.fmul), a_l, b_l, iters=iters)
-    record("field_mul", curve.name, B, t, B / t, "muls/s")
-    t = time_fn(wrap(F.fsquare), a_l, iters=iters)
-    record("field_square", curve.name, B, t, B / t, "squares/s")
-    t = time_fn(wrap(F.finv), a_l, iters=16)
-    record("field_invert", curve.name, B, t, B / t, "inverts/s")
+    t, tr = time_fn(wrap(F.fmul), a_l, b_l, iters=iters, return_tries=True)
+    record("field_mul", curve.name, B, t, B / t, "muls/s",
+           tries=[B / x for x in tr])
+    t, tr = time_fn(wrap(F.fsquare), a_l, iters=iters, return_tries=True)
+    record("field_square", curve.name, B, t, B / t, "squares/s",
+           tries=[B / x for x in tr])
+    t, tr = time_fn(wrap(F.finv), a_l, iters=16, return_tries=True)
+    record("field_invert", curve.name, B, t, B / t, "inverts/s",
+           tries=[B / x for x in tr])
     # kernel-on/off A-B for the fused pow_call chain (VERDICT r3 item 1c):
     # the row above runs the default (pow kernel on TPU); this one forces
     # the XLA scan path for the same Fermat chain.
@@ -213,14 +216,17 @@ def bench_scalar_field(curve, B=8192, iters=32):
             return F._steady(op(*fes)).limbs
         return jax.jit(fn)
 
-    t = time_fn(wrap(F.fmul), a_l, b_l, iters=iters)
-    record("scalar_field_mul", curve.name, B, t, B / t, "muls/s")
+    t, tr = time_fn(wrap(F.fmul), a_l, b_l, iters=iters, return_tries=True)
+    record("scalar_field_mul", curve.name, B, t, B / t, "muls/s",
+           tries=[B / x for x in tr])
     neg_fn = jax.jit(lambda l: F.fcanonical(
         F.fneg(F.fe_steady(s, l))).limbs)
-    t = time_fn(neg_fn, a_l, iters=iters)
-    record("scalar_negate", curve.name, B, t, B / t, "negs/s")
-    t = time_fn(wrap(F.finv), a_l, iters=16)
-    record("scalar_invert", curve.name, B, t, B / t, "inverts/s")
+    t, tr = time_fn(neg_fn, a_l, iters=iters, return_tries=True)
+    record("scalar_negate", curve.name, B, t, B / t, "negs/s",
+           tries=[B / x for x in tr])
+    t, tr = time_fn(wrap(F.finv), a_l, iters=16, return_tries=True)
+    record("scalar_invert", curve.name, B, t, B / t, "inverts/s",
+           tries=[B / x for x in tr])
 
 
 def bench_scalarmul(curve, B=1024, iters=4):
@@ -247,16 +253,19 @@ def bench_scalarmul(curve, B=1024, iters=4):
             SM.scalar_mul(P.point_from_limbs(curve, pl), kl)))
 
     chain = lambda out, a: (out, a[1])  # noqa: E731
-    t = time_fn(smul, p_l, k_l, iters=iters, chain=chain)
-    record("scalar_mul", curve.name, B, t, B / t, "muls/s")
+    t, tr = time_fn(smul, p_l, k_l, iters=iters, chain=chain,
+                    return_tries=True)
+    record("scalar_mul", curve.name, B, t, B / t, "muls/s",
+           tries=[B / x for x in tr])
 
     @jax.jit
     def mbg(kl):
         return P.point_limbs(P.steady(SM.mul_by_generator(curve, kl)))
 
     chain = lambda out, a: (a[0] ^ _chain_tweak(out),)  # noqa: E731
-    t = time_fn(mbg, k_l, iters=iters, chain=chain)
-    record("mul_by_generator", curve.name, B, t, B / t, "muls/s")
+    t, tr = time_fn(mbg, k_l, iters=iters, chain=chain, return_tries=True)
+    record("mul_by_generator", curve.name, B, t, B / t, "muls/s",
+           tries=[B / x for x in tr])
 
     k2_l = SM.pack_scalars(curve, [k + 7 for k in ks])
 
@@ -267,8 +276,10 @@ def bench_scalarmul(curve, B=1024, iters=4):
         return P.point_limbs(P.steady(SM.lincomb([(Gb, k1), (Q, k2)])))
 
     chain = lambda out, a: (out, a[1], a[2])  # noqa: E731
-    t = time_fn(lin, p_l, k_l, k2_l, iters=iters, chain=chain)
-    record("lincomb_2term", curve.name, B, t, B / t, "lincombs/s")
+    t, tr = time_fn(lin, p_l, k_l, k2_l, iters=iters, chain=chain,
+                    return_tries=True)
+    record("lincomb_2term", curve.name, B, t, B / t, "lincombs/s",
+           tries=[B / x for x in tr])
 
 
 def bench_ecdsa(name, B=8192, chunk=4096, iters=3):
@@ -302,30 +313,34 @@ def bench_ecdsa(name, B=8192, chunk=4096, iters=3):
     def best_of(fn, b):
         # min over iters: co-tenant stalls on the shared pool only ever ADD
         # time to a synchronous e2e call (PERF.md methodology)
-        best = float("inf")
+        times = []
         for _ in range(max(iters, 4)):
             t0 = time.perf_counter()
             fn(b)
-            best = min(best, time.perf_counter() - t0)
-        return best
+            times.append(time.perf_counter() - t0)
+        return min(times), times
 
     def rates(fn):
-        t1 = best_of(fn, B)
-        t2 = best_of(fn, B2)
+        t1, tries1 = best_of(fn, B)
+        t2, _ = best_of(fn, B2)
         marg = (B2 - B) / (t2 - t1) if t2 > t1 else 0.0
-        return t1, marg
+        return t1, marg, tries1
 
-    t, m = rates(lambda b: ecdsa.sign_batch(c, ds[:b], zs[:b], chunk=chunk))
-    record("ecdsa_sign_e2e_percall", name, B, t, B / t, "sigs/s")
+    t, m, tr = rates(lambda b: ecdsa.sign_batch(c, ds[:b], zs[:b],
+                                                chunk=chunk))
+    record("ecdsa_sign_e2e_percall", name, B, t, B / t, "sigs/s",
+           tries=[B / x for x in tr])
     record("ecdsa_sign_e2e", name, B, (B2 - B) / m if m else 0, m, "sigs/s")
-    t, m = rates(lambda b: ecdsa.verify_batch(c, pubs[:b], zs[:b], rs[:b],
-                                              chunk=chunk))
-    record("ecdsa_verify_e2e_percall", name, B, t, B / t, "verifies/s")
+    t, m, tr = rates(lambda b: ecdsa.verify_batch(c, pubs[:b], zs[:b],
+                                                  rs[:b], chunk=chunk))
+    record("ecdsa_verify_e2e_percall", name, B, t, B / t, "verifies/s",
+           tries=[B / x for x in tr])
     record("ecdsa_verify_e2e", name, B, (B2 - B) / m if m else 0, m,
            "verifies/s")
-    t, m = rates(lambda b: ecdsa.recover_batch(c, zs[:b], sigs[:b],
-                                               chunk=chunk))
-    record("ecdsa_recover_e2e_percall", name, B, t, B / t, "recovers/s")
+    t, m, tr = rates(lambda b: ecdsa.recover_batch(c, zs[:b], sigs[:b],
+                                                   chunk=chunk))
+    record("ecdsa_recover_e2e_percall", name, B, t, B / t, "recovers/s",
+           tries=[B / x for x in tr])
     record("ecdsa_recover_e2e", name, B, (B2 - B) / m if m else 0, m,
            "recovers/s")
 
@@ -368,15 +383,18 @@ def bench_msm(curve, log_n=20, w=13, lanes=8192, iters=3, kernels=None,
     # the min is the uncontended device time; per-call windows close with a
     # real fetch (~60ms bias on a multi-hundred-ms call)
     t = float("inf")
+    tr = []
     for _ in range(max(iters, 5)):
         k_l = jnp.roll(k_l, 1, axis=-1) ^ _chain_tweak(out)
         _fetch(k_l)
         t0 = time.perf_counter()
         out = kern(xs_l, ys_l, inf, k_l)
         _fetch(out)
-        t = min(t, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        t = min(t, dt)
+        tr.append(N / dt)
     record(f"msm_pippenger{tag}_2^{log_n}", curve.name, N, t, N / t,
-           "points/s")
+           "points/s", tries=tr)
     return N / t
 
 

@@ -8,6 +8,17 @@ set -u
 cd "$(dirname "$0")/.."
 fail=0
 
+if [ "${1:-}" = "--drive" ]; then
+    echo "== end-to-end public-API drive (tools/drive.py, CPU) =="
+    env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+        JAX_COMPILATION_CACHE_DIR="$HOME/.cache/jax-cpu" \
+        JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES=0 \
+        JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=0.0 \
+        timeout 3600 python -u tools/drive.py || fail=1
+    [ $fail -eq 0 ] && echo "DRIVE GREEN" || echo "DRIVE RED"
+    exit $fail
+fi
+
 if [ "${1:-}" = "--tpu" ]; then
     echo "== real-TPU kernel gate (tests/test_tpu_kernels.py) =="
     env TPU_ECC_TPU_TESTS=1 timeout 7200 python -u -m pytest \

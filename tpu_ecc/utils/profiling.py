@@ -31,7 +31,8 @@ def _fetch_tiny(arr):
     return np.asarray(flat[:1])
 
 
-def time_fn(fn, *args, iters: int = 16, chain=None, block=None, reps: int = 3):
+def time_fn(fn, *args, iters: int = 16, chain=None, block=None, reps: int = 3,
+            return_tries: bool = False):
     """Per-call wall time of a jitted callable via chain-length differencing.
 
     Times a short and a long dependency-chained loop (each iteration's first
@@ -45,7 +46,12 @@ def time_fn(fn, *args, iters: int = 16, chain=None, block=None, reps: int = 3):
     but they can land in EITHER window — a stalled short window makes the
     pairwise difference negative (round-2's best-of-2 pairs then *inflated*
     the rate to nonsense). Taking min() over each window's reps separately
-    recovers the unstalled time for both before differencing."""
+    recovers the unstalled time for both before differencing.
+
+    `return_tries=True` additionally returns the per-rep paired differences
+    as per-call seconds (possibly empty where a rep's pair was stalled
+    negative) so callers can record the run-to-run dispersion behind the
+    reported number (VERDICT r3: rates had unrecorded error bars)."""
     if chain is None:
         chain = lambda out, a: (out,) + tuple(a[1:])  # noqa: E731
     out = fn(*args)
@@ -71,10 +77,15 @@ def time_fn(fn, *args, iters: int = 16, chain=None, block=None, reps: int = 3):
             t2s.append(t2)
         diff = min(t2s) - min(t1s)
         if diff > 0:
-            return diff / iters
+            per_call = diff / iters
+            if return_tries:
+                tries = [(b - a) / iters for a, b in zip(t1s, t2s) if b > a]
+                return per_call, tries
+            return per_call
         # every long window out-raced every short one: a co-tenant stall
         # landed in all short reps (seen on fast ops where the chain is a
         # few ms vs multi-ms tunnel jitter). Lengthen the chain so real
         # work dominates the jitter instead of clamping to a bogus rate.
         iters *= 4
-    return max(diff, 1e-9) / iters
+    per_call = max(diff, 1e-9) / iters
+    return (per_call, []) if return_tries else per_call
