@@ -30,11 +30,18 @@ from tpu_ecc.ops import fe as F
 
 
 def _spec(kind: str):
+    # one representative per make_field_spec branch (fe.py): 13-bit solinas
+    # (k256, bign256, p192), 13-bit Montgomery CIOS (p256), 12-bit wide CIOS
+    # (p384), widest 12-bit mont (bp384r1), wide solinas (p521), scalar mont
     return {
         "k256_field": get_curve("secp256k1").field,
         "p256_field": get_curve("p256").field,
         "p521_field": get_curve("p521").field,
         "k256_scalar": get_curve("secp256k1").scalar,
+        "p384_field": get_curve("p384").field,
+        "bign256_field": get_curve("bign256").field,
+        "bp384r1_field": get_curve("bp384r1").field,
+        "p192_field": get_curve("p192").field,
     }[kind]
 
 
@@ -64,7 +71,14 @@ def _sample_values(p: int, count: int, seed: int) -> list[int]:
     return vals[:count]
 
 
-@pytest.mark.parametrize("kind", ["k256_field", "p256_field", "k256_scalar"])
+@pytest.mark.parametrize("kind", [
+    "k256_field", "p256_field", "k256_scalar", "bign256_field",
+    # remaining backend flavors (VERDICT r4 item 6) — slow tier: their
+    # invert chains dominate compile on the 4-core CPU host
+    pytest.param("p384_field", marks=pytest.mark.slow),
+    pytest.param("bp384r1_field", marks=pytest.mark.slow),
+    pytest.param("p192_field", marks=pytest.mark.slow),
+])
 def test_fuzz_ops_sweep(kind):
     """mul/square/add/sub/neg/invert over 4096 random+boundary values per
     backend flavor — each op ONE batched device call vs host ints."""
@@ -132,7 +146,11 @@ def test_fuzz_ops_sweep_p521():
         assert res == want, f"p521 op {i} mismatch"
 
 
-@pytest.mark.parametrize("kind", ["k256_field", "p256_field"])
+@pytest.mark.parametrize("kind", [
+    "k256_field", "p256_field",
+    pytest.param("p384_field", marks=pytest.mark.slow),
+    pytest.param("bign256_field", marks=pytest.mark.slow),
+])
 def test_fuzz_sqrt(kind):
     """Batched sqrt over 2048 values (~half QRs): root^2 == x for squares,
     is_square flag == Euler criterion for all."""
@@ -233,7 +251,10 @@ def _random_dag(s, seed: int, n_ops: int, B: int):
 @pytest.mark.parametrize("kind,seed", [
     ("k256_field", 1), ("k256_field", 2), ("k256_field", 3),
     ("p256_field", 1), ("p256_field", 2), ("p256_field", 3),
-    ("k256_scalar", 1),
+    ("k256_scalar", 1), ("bign256_field", 1),
+    pytest.param("p384_field", 1, marks=pytest.mark.slow),
+    pytest.param("bp384r1_field", 1, marks=pytest.mark.slow),
+    pytest.param("p192_field", 1, marks=pytest.mark.slow),
 ])
 def test_fuzz_bound_ledger_dag(kind, seed):
     """Seeded random 40-op lazy DAGs: every node's canonical value must

@@ -173,6 +173,7 @@ def _p384() -> CurveSpec:
         int("3617de4a96262c6f5d9e98bf9292dc29f8f41dbd289a147ce9da3113b5f0b8c0"
             "0a60b1ce1d7e819d7a431d7c90ea0e5f", 16),
         oid="1.3.132.0.34", field_kind="mont",
+        voprf=("P384-SHA384", "sha384"),
     )
 
 
@@ -194,6 +195,7 @@ def _p521() -> CurveSpec:
             "662c97ee72995ef42640c550b9013fad0761353c7086a272c24088be94769fd1"
             "6650", 16),
         oid="1.3.132.0.35", field_kind="solinas",
+        voprf=("P521-SHA512", "sha512"),
     )
 
 

@@ -74,9 +74,10 @@ def ec_private_key_encode(curve: CurveSpec, d: int, include_curve: bool = True,
     if include_curve:
         body += tlv(CTX_0, asn1.encode_oid(curve.oid))
     if include_public:
-        from ..utils import ec_host
+        # ct device comb on the secret d (DESIGN.md ct policy)
+        from ..ops import scalarmul as SM
 
-        pub = ec_host.aff_mul(curve, d, ec_host.aff_generator(curve))
+        pub = SM.derive_public(curve, d)
         pt = sec1.encode_point(curve, pub, compress=False)
         body += tlv(CTX_1, tlv(BIT_STRING, b"\x00" + pt))
     return tlv(SEQUENCE, body)

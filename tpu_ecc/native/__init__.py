@@ -38,20 +38,28 @@ def get_lib():
                 check=True, capture_output=True, timeout=120)
             os.replace(tmp, so)
         lib = ctypes.CDLL(so)
-        lib.rfc6979_k_sha256_batch.argtypes = [
-            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        for name in ("rfc6979_k_sha256_batch", "rfc6979_k_sm3_batch",
+                     "rfc6979_k_belt_batch"):
+            getattr(lib, name).argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.c_char_p, ctypes.c_int32]
+        for name in ("sha256_batch", "sm3_batch"):
+            getattr(lib, name).argtypes = [
+                ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p,
+                ctypes.c_int32]
+        lib.belt_hash_batch.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
             ctypes.c_char_p, ctypes.c_int32]
-        lib.sha256_batch.argtypes = [
-            ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32]
         _lib = lib
     except Exception:
         _lib = None
     return _lib
 
 
-def rfc6979_k_sha256_batch(q: int, xs, h1s) -> list[int] | None:
-    """Batched RFC 6979 k for qlen == 256 / SHA-256 / no extra data.
-    xs: secret scalars (ints); h1s: 32-byte digests. None if unavailable."""
+def _rfc6979_batch(fn_name: str, q: int, xs, h1s) -> list[int] | None:
+    """Batched RFC 6979 k for qlen == 256 / 32-byte-digest hash / no extra
+    data. xs: secret scalars (ints); h1s: 32-byte digests. None if the
+    native library is unavailable or the shape doesn't qualify."""
     lib = get_lib()
     if lib is None or q.bit_length() != 256:
         return None
@@ -62,12 +70,24 @@ def rfc6979_k_sha256_batch(q: int, xs, h1s) -> list[int] | None:
     xb = b"".join(int(x).to_bytes(32, "big") for x in xs)
     hb = b"".join(h1s)
     out = ctypes.create_string_buffer(32 * B)
-    lib.rfc6979_k_sha256_batch(qb, xb, hb, out, B)
+    getattr(lib, fn_name)(qb, xb, hb, out, B)
     raw = out.raw
     return [int.from_bytes(raw[32 * b:32 * b + 32], "big") for b in range(B)]
 
 
-def sha256_batch(msgs, msg_len: int) -> list[bytes] | None:
+def rfc6979_k_sha256_batch(q: int, xs, h1s) -> list[int] | None:
+    return _rfc6979_batch("rfc6979_k_sha256_batch", q, xs, h1s)
+
+
+def rfc6979_k_sm3_batch(q: int, xs, h1s) -> list[int] | None:
+    return _rfc6979_batch("rfc6979_k_sm3_batch", q, xs, h1s)
+
+
+def rfc6979_k_belt_batch(q: int, xs, h1s) -> list[int] | None:
+    return _rfc6979_batch("rfc6979_k_belt_batch", q, xs, h1s)
+
+
+def _hash_batch(fn_name: str, msgs, msg_len: int) -> list[bytes] | None:
     lib = get_lib()
     if lib is None:
         return None
@@ -75,6 +95,33 @@ def sha256_batch(msgs, msg_len: int) -> list[bytes] | None:
     buf = b"".join(msgs)
     assert len(buf) == B * msg_len
     out = ctypes.create_string_buffer(32 * B)
-    lib.sha256_batch(buf, msg_len, out, B)
+    getattr(lib, fn_name)(buf, msg_len, out, B)
+    raw = out.raw
+    return [raw[32 * b:32 * b + 32] for b in range(B)]
+
+
+def sha256_batch(msgs, msg_len: int) -> list[bytes] | None:
+    return _hash_batch("sha256_batch", msgs, msg_len)
+
+
+def sm3_batch(msgs, msg_len: int) -> list[bytes] | None:
+    return _hash_batch("sm3_batch", msgs, msg_len)
+
+
+def belt_hash_batch(msgs) -> list[bytes] | None:
+    """Batched belt-hash over VARIABLE-length messages (offsets-delimited)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B = len(msgs)
+    offs = (ctypes.c_int64 * (B + 1))()
+    pos = 0
+    for i, m in enumerate(msgs):
+        offs[i] = pos
+        pos += len(m)
+    offs[B] = pos
+    buf = b"".join(msgs)
+    out = ctypes.create_string_buffer(32 * B)
+    lib.belt_hash_batch(buf, offs, out, B)
     raw = out.raw
     return [raw[32 * b:32 * b + 32] for b in range(B)]

@@ -269,6 +269,45 @@ def mul_by_generator(curve: CurveSpec, k_limbs: jax.Array) -> Point:
 
 
 # ---------------------------------------------------------------------------
+# constant-time public-key derivation (SecretKey::public_key analogue)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _derive_public_core(curve: CurveSpec):
+    @jax.jit
+    def core(d_raw):
+        Pt = mul_by_generator(curve, d_raw)
+        x, y, _ = P.to_affine(Pt)
+        # one packed output = one D2H fetch
+        return jnp.concatenate([F.fe_to_words(x), F.fe_to_words(y)], axis=0)
+
+    return core
+
+
+def derive_public_batch(curve: CurveSpec, d_ints) -> list:
+    """Constant-time public keys [(x, y)] = [d*G] for secret scalars d.
+
+    The ONLY sanctioned path from a secret scalar to its public point: the
+    device comb (`mul_by_generator`, masked one-hot selects, no
+    secret-dependent control flow) — matching the reference's ct
+    `SecretKey::public_key` (k256/src/arithmetic/mul.rs:424-439, ct
+    discipline per primeorder/src/projective.rs:106-150). The host
+    double-and-add (`ec_host.aff_mul`) branches per secret bit and must
+    never see a secret operand (DESIGN.md "constant-time policy")."""
+    packed = np.asarray(jax.device_get(
+        _derive_public_core(curve)(pack_scalars(curve, d_ints))))
+    nwf = (curve.field.bits + 31) // 32
+    xs = F.ints_from_words(packed[:nwf])
+    ys = F.ints_from_words(packed[nwf:])
+    return list(zip(xs, ys))
+
+
+def derive_public(curve: CurveSpec, d: int) -> tuple:
+    """Single-key ct public-key derivation (batch-1 device comb)."""
+    return derive_public_batch(curve, [d])[0]
+
+
+# ---------------------------------------------------------------------------
 # multi-scalar: shared-doubling lincomb (Straus), the verify hot path
 # ---------------------------------------------------------------------------
 

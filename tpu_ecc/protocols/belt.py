@@ -106,6 +106,19 @@ def belt_hash(data: bytes) -> bytes:
     return out
 
 
+def belt_hash_batch(msgs) -> list:
+    """Batched belt-hash: the native C++ kernel when available (~1us/hash,
+    tpu_ecc/native/fastcrypt.cpp — asserted bit-equal to this module in
+    tests/test_native.py), else the Python loop (~500us/hash)."""
+    if len(msgs) > 1:
+        from ..native import belt_hash_batch as native_batch
+
+        out = native_batch(list(msgs))
+        if out is not None:
+            return out
+    return [belt_hash(m) for m in msgs]
+
+
 # --- import-time self-test against STB 34.101.31 A.1 (block cipher) ---
 _TEST_X = bytes.fromhex("b194bac80a08f53b366d008e584a5de4")
 _TEST_K = bytes.fromhex("e9dee72c8f0c0fa62ddb49f46f739647"

@@ -27,13 +27,13 @@ import numpy as np
 
 from ..curves.specs import CurveSpec, get_curve
 from ..encoding import sec1
-from ..utils import ec_host
-from ..utils.bigint import limbs_np_to_ints
+
 from ..ops import fe as F
 from ..ops import points as P
 from ..ops import scalarmul as SM
 from . import rfc6979
-from .belt import belt_hash
+from .belt import belt_hash, belt_hash_batch
+from .pipeline import run_pipelined as _run_pipelined
 
 # DER OID of belt-hash: 1.2.112.0.2.0.34.101.31.81 (bign256/src/dsa.rs:61-63)
 BELT_OID = bytes([0x06, 0x09, 0x2A, 0x70, 0x00, 0x02, 0x00, 0x22, 0x65, 0x1F, 0x51])
@@ -92,87 +92,146 @@ def _generate_k_belt(q: int, x: int, h1: bytes) -> int:
         V = hm(K, V)
 
 
+def _generate_k_belt_batch(q: int, xs, h1s) -> list:
+    """Batched RFC6979-BeltHash nonces: the native C++ kernel when available
+    (~10us/nonce vs ~6ms for the Python belt loop), else per element."""
+    from ..native import rfc6979_k_belt_batch
+
+    if len(xs) > 1:
+        ks = rfc6979_k_belt_batch(q, list(xs), list(h1s))
+        if ks is not None:
+            return ks
+    return [_generate_k_belt(q, x, h1) for x, h1 in zip(xs, h1s)]
+
+
 @functools.lru_cache(maxsize=None)
 def _kg_core(curve: CurveSpec):
+    """k words -> x(kG) words (packed IO both ways; protocols/pipeline.py)."""
+    s = curve.scalar
+    nws = (s.bits + 31) // 32
+
     @jax.jit
-    def core(k_raw):
+    def core(buf):
+        k_raw = F.relimb(buf[:nws], 32, s.limb_bits, s.n_limbs)
         R = SM.mul_by_generator(curve, k_raw)
         x, _, _ = P.to_affine(R)
-        return F.fto_raw_canonical(x)
+        return F.fe_to_words(x)
 
     return core
 
 
 @functools.lru_cache(maxsize=None)
 def _lincomb_core(curve: CurveSpec):
+    """buf [2*nwf + 2*nws, B] = qx | qy | a | b words -> x(aG + bQ) words |
+    ok flag. Curve membership of Q is checked on device (the reference
+    rejects off-curve keys at decode, primeorder/src/affine.rs:164-195)."""
+    s = curve.scalar
+    f = curve.field
+    fbits, sbits = f.bits, s.bits
+    nwf = (fbits + 31) // 32
+    nws = (sbits + 31) // 32
+
     @jax.jit
-    def core(qx, qy, a_raw, b_raw):
+    def core(buf):
+        bshape = buf.shape[1:]
+        o = 0
+        qx_w = buf[o:o + nwf]; o += nwf
+        qy_w = buf[o:o + nwf]; o += nwf
+        a_w = buf[o:o + nws]; o += nws
+        b_w = buf[o:o + nws]; o += nws
+        qx = F.fe_from_words(f, qx_w, fbits)
+        qy = F.fe_from_words(f, qy_w, fbits)
+        rhs = F.fmul(F.fsquare(qx), qx)
+        rhs = rhs + F.fmul(F.fe_from_int(f, curve.a, bshape), qx)
+        rhs = rhs + F.fe_from_int(f, curve.b, bshape)
+        q_on_curve = F.feq(F.fsquare(qy), rhs)
+        a_raw = F.relimb(a_w, 32, s.limb_bits, s.n_limbs)
+        b_raw = F.relimb(b_w, 32, s.limb_bits, s.n_limbs)
         Q = P.from_affine(curve, qx, qy)
-        G = P.generator(curve, qx.batch_shape)
+        G = P.generator(curve, bshape)
         R = SM.lincomb([(G, a_raw), (Q, b_raw)])
         x, _, inf = P.to_affine(R)
-        # one packed output = one D2H fetch (~30ms/round-trip tunnel)
+        ok = jnp.logical_and(q_on_curve, jnp.logical_not(inf))
         return jnp.concatenate(
-            [F.fe_to_words(x), inf.astype(jnp.uint32)[None]], axis=0)
+            [F.fe_to_words(x), ok.astype(jnp.uint32)[None]], axis=0)
 
     return core
 
 
-def sign_batch(curve: CurveSpec, d_ints, msgs):
-    """Batched bign-DSA sign. Returns list of 48-byte signatures."""
+def sign_batch(curve: CurveSpec, d_ints, msgs, chunk=None):
+    """Batched bign-DSA sign. Returns list of 48-byte signatures.
+
+    All belt hashing (message, nonce derivation, S0) runs through the
+    native C++ batch kernels; R = kG is chunk-pipelined on device."""
     q = curve.n
-    hs, ks = [], []
-    for d, msg in zip(d_ints, msgs):
-        H = belt_hash(msg)
-        h = int.from_bytes(H, "little") % q
-        k = _generate_k_belt(q, d, h.to_bytes(32, "big"))
-        hs.append((H, h))
-        ks.append(k)
-    xr = _kg_core(curve)(SM.pack_scalars(curve, ks))
-    xs = limbs_np_to_ints(np.asarray(jax.device_get(xr)), curve.field.limb_bits)
+    s = curve.scalar
+    nwf = (curve.field.bits + 31) // 32
+    Hs = belt_hash_batch(list(msgs))
+    hs = [int.from_bytes(H, "little") % q for H in Hs]
+    ks = _generate_k_belt_batch(q, d_ints,
+                                [h.to_bytes(32, "big") for h in hs])
+    packed = _run_pipelined(
+        _kg_core(curve), lambda sl: F.words_from_ints(ks[sl], s.bits),
+        len(d_ints), chunk, pad_col=F.words_from_ints([1], s.bits))
+    xs = F.ints_from_words(packed[:nwf])
+    s0_fulls = belt_hash_batch([
+        BELT_OID + int(x).to_bytes(32, "little") + H
+        for x, H in zip(xs, Hs)])
     sigs = []
-    for (H, h), k, d, x in zip(hs, ks, d_ints, xs):
-        R_le = int(x).to_bytes(32, "little")
-        s0_full = belt_hash(BELT_OID + R_le + H)
+    for h, k, d, s0_full in zip(hs, ks, d_ints, s0_fulls):
         s0 = int.from_bytes(s0_full[:16], "little")
         s1 = (k - h - (s0 + (1 << 128)) * d) % q
         sigs.append(s0.to_bytes(16, "little") + s1.to_bytes(32, "little"))
     return sigs
 
 
-def verify_batch(curve: CurveSpec, pub_pts, msgs, sigs):
-    """Batched bign-DSA verify. Returns list[bool]."""
-    q = curve.n
-    pre_ok, a_l, b_l, hs, s0s = [], [], [], [], []
-    for msg, sig in zip(msgs, sigs):
-        ok = len(sig) == 48
-        s0 = int.from_bytes(sig[:16], "little") if ok else 0
-        s1 = int.from_bytes(sig[16:], "little") if ok else 0
-        ok = ok and s1 < q
-        H = belt_hash(msg)
-        h = int.from_bytes(H, "little") % q
-        pre_ok.append(ok)
-        a_l.append((s1 + h) % q if ok else 1)
-        b_l.append((s0 + (1 << 128)) % q)
-        hs.append(H)
-        s0s.append(s0)
+def verify_batch(curve: CurveSpec, pub_pts, msgs, sigs, chunk=None):
+    """Batched bign-DSA verify, chunk-pipelined. Returns list[bool]."""
+    q, p = curve.n, curve.p
     f = curve.field
-    qx = F.fe_from_ints(f, [p_[0] for p_ in pub_pts])
-    qy = F.fe_from_ints(f, [p_[1] for p_ in pub_pts])
-    packed = np.asarray(_lincomb_core(curve)(
-        qx, qy, SM.pack_scalars(curve, a_l), SM.pack_scalars(curve, b_l)))
+    s = curve.scalar
     nwf = (f.bits + 31) // 32
+    Hs = belt_hash_batch(list(msgs))
+    pre_ok, s0s = [], []
+
+    def prep(sl):
+        a_l, b_l, qx_l, qy_l = [], [], [], []
+        for msg_i, sig, (qx, qy) in zip(range(sl.start, sl.stop),
+                                        sigs[sl], pub_pts[sl]):
+            ok = len(sig) == 48
+            s0 = int.from_bytes(sig[:16], "little") if ok else 0
+            s1 = int.from_bytes(sig[16:], "little") if ok else 0
+            ok = ok and s1 < q
+            if not (0 <= qx < p and 0 <= qy < p):
+                ok = False
+            h = int.from_bytes(Hs[msg_i], "little") % q
+            pre_ok.append(ok)
+            s0s.append(s0)
+            a_l.append((s1 + h) % q if ok else 1)
+            b_l.append((s0 + (1 << 128)) % q)
+            qx_l.append(qx if ok else curve.gx)
+            qy_l.append(qy if ok else curve.gy)
+        return np.concatenate([
+            F.words_from_ints(qx_l, f.bits),
+            F.words_from_ints(qy_l, f.bits),
+            F.words_from_ints(a_l, s.bits),
+            F.words_from_ints(b_l, s.bits)], axis=0)
+
+    pad = np.concatenate([
+        F.words_from_ints([curve.gx], f.bits),
+        F.words_from_ints([curve.gy], f.bits),
+        F.words_from_ints([1], s.bits),
+        F.words_from_ints([1], s.bits)], axis=0)
+    packed = _run_pipelined(_lincomb_core(curve), prep, len(sigs), chunk,
+                            pad_col=pad)
     xs = F.ints_from_words(packed[:nwf])
-    inf = packed[nwf]
-    out = []
-    for ok, x, is_inf, H, s0 in zip(pre_ok, xs, inf, hs, s0s):
-        if not ok or is_inf:
-            out.append(False)
-            continue
-        R_le = int(x).to_bytes(32, "little")
-        t = belt_hash(BELT_OID + R_le + H)
-        out.append(int.from_bytes(t[:16], "little") == s0)
-    return out
+    okf = packed[nwf]
+    t_hashes = belt_hash_batch([
+        BELT_OID + int(x).to_bytes(32, "little") + H
+        for x, H in zip(xs, Hs)])
+    return [bool(ok and o
+                 and int.from_bytes(t[:16], "little") == s0)
+            for ok, o, t, s0 in zip(pre_ok, okf, t_hashes, s0s)]
 
 
 @dataclasses.dataclass
@@ -190,8 +249,8 @@ class SigningKey:
         return cls(c, d)
 
     def verifying_key(self) -> "VerifyingKey":
-        pt = ec_host.aff_mul(self.curve, self.d, ec_host.aff_generator(self.curve))
-        return VerifyingKey(self.curve, pt)
+        # ct device comb on the secret d (DESIGN.md ct policy)
+        return VerifyingKey(self.curve, SM.derive_public(self.curve, self.d))
 
     def sign(self, msg: bytes) -> bytes:
         (sig,) = sign_batch(self.curve, [self.d], [msg])

@@ -15,7 +15,6 @@ import numpy as np
 
 from ..curves.specs import CurveSpec, get_curve
 from ..encoding import sec1
-from ..utils import ec_host
 from ..utils.bigint import int_to_be_bytes
 from ..ops import fe as F
 from ..ops import points as P
@@ -77,7 +76,8 @@ class EphemeralSecret:
         return cls(c, rng.randrange(1, c.n))
 
     def public_key(self):
-        return ec_host.aff_mul(self.curve, self.d, ec_host.aff_generator(self.curve))
+        # ct device comb on the secret d (DESIGN.md ct policy)
+        return SM.derive_public(self.curve, self.d)
 
     def public_key_bytes(self, compress: bool = True) -> bytes:
         return sec1.encode_point(self.curve, self.public_key(), compress)

@@ -28,13 +28,13 @@ import jax.numpy as jnp
 
 from ..curves.specs import CurveSpec, get_curve
 from ..encoding import der, sec1
-from ..utils import ec_host
 from ..utils.bigint import be_bytes_to_int
 from ..ops import fe as F
 from ..ops.fe import U32
 from ..ops import points as P
 from ..ops import scalarmul as SM
 from . import rfc6979
+from .pipeline import DEFAULT_CHUNK, run_pipelined as _run_pipelined  # noqa: F401
 
 # per-curve protocol defaults (DigestPrimitive in the reference)
 CURVE_HASH = {
@@ -71,6 +71,26 @@ def digest_to_z(curve: CurveSpec, digest: bytes) -> int:
     """bits2int: leftmost qlen bits (the ecdsa crate's bits2field,
     p521/src/ecdsa.rs:48-82 uses this for 512-bit digests vs 521-bit n)."""
     return rfc6979.bits2int(digest, curve.n.bit_length()) % curve.n
+
+
+def sign_batch_msgs(curve: CurveSpec, d_ints, msgs, hashname=None,
+                    chunk=None, low_s=None):
+    """Batched sign over RAW messages: hashing rides the native C++
+    sha256_batch kernel for uniform-length batches (hash_msgs), then the
+    chunk-pipelined prehash path. The message-level twin of sign_batch."""
+    hashname = hashname or CURVE_HASH[curve.name]
+    zs = [digest_to_z(curve, h) for h in hash_msgs(curve, msgs, hashname)]
+    return sign_batch(curve, d_ints, zs, hashname=hashname, chunk=chunk,
+                      low_s=low_s)
+
+
+def verify_batch_msgs(curve: CurveSpec, pub_pts, msgs, sigs, hashname=None,
+                      chunk=None, low_s=None):
+    """Batched verify over RAW messages (native batched hashing; see
+    sign_batch_msgs)."""
+    hashname = hashname or CURVE_HASH[curve.name]
+    zs = [digest_to_z(curve, h) for h in hash_msgs(curve, msgs, hashname)]
+    return verify_batch(curve, pub_pts, zs, sigs, low_s=low_s, chunk=chunk)
 
 
 # ---------------------------------------------------------------------------
@@ -191,59 +211,8 @@ def _verify_core(curve: CurveSpec):
     return core
 
 
-DEFAULT_CHUNK = 4096
-"""Pipeline chunk: batches larger than this are split and streamed through
-the device with host prep / H2D / compute / D2H overlapped (JAX async
-dispatch + copy_to_host_async); smaller batches run as one dispatch.
-4096 is the measured sweet spot on v5e behind the axon tunnel (verify
-marginal at B=8192: 6.5e4/s @1024, 2.1e5 @2048, 3.2e5 @4096, 1.1e5 @8192
-— small chunks pay per-dispatch overhead, one big chunk can't overlap)."""
-
-
-def _run_pipelined(core, prep, B, chunk, pad_col, depth: int = 3):
-    """Chunked host<->device pipeline shared by the batched protocol shells.
-
-    Splits [0, B) into `chunk`-sized slices; for each, `prep(slice)` builds
-    the packed uint32 host buffer (hashing/nonces/word packing), which is
-    dispatched to `core` WITHOUT blocking — while the device works on chunk
-    i, the host preps chunk i+1 and the finished chunk i-1 streams back
-    via copy_to_host_async. Closes the r3 gap where e2e protocol rates sat
-    ~13x below the device marginal rate (the shell was fully synchronous).
-
-    The tail chunk is padded to `chunk` columns with `pad_col` (a valid
-    dummy lane) so every dispatch hits the same compiled program.
-    Returns the concatenated [rows, B] result (padding sliced off).
-    """
-    from collections import deque
-
-    if not chunk:
-        chunk = DEFAULT_CHUNK
-    chunk = max(1, min(chunk, B))
-    pending: deque = deque()
-    outs = []
-
-    def drain(limit):
-        while len(pending) > limit:
-            arr = np.asarray(pending.popleft())
-            outs.append(arr if arr.ndim == 2 else arr[None])
-
-    for st in range(0, B, chunk):
-        en = min(st + chunk, B)
-        buf = prep(slice(st, en))
-        if en - st < chunk:
-            buf = np.concatenate(
-                [buf, np.broadcast_to(pad_col, (buf.shape[0],
-                                                chunk - (en - st)))], axis=1)
-        dev = core(jnp.asarray(buf))
-        try:
-            dev.copy_to_host_async()
-        except Exception:
-            pass                     # backend without async D2H: still correct
-        pending.append(dev)
-        drain(depth - 1)
-    drain(0)
-    packed = outs[0] if len(outs) == 1 else np.concatenate(outs, axis=1)
-    return packed[:, :B]
+# the chunked host<->device pipeline shared by all protocol shells lives in
+# protocols/pipeline.py (generalized out of this file in round 5)
 
 
 def sign_batch(curve: CurveSpec, d_ints, z_ints, k_ints=None, hashname=None,
@@ -500,8 +469,9 @@ class SigningKey:
         return int(self.d).to_bytes((self.curve.scalar.bits + 7) // 8, "big")
 
     def verifying_key(self) -> "VerifyingKey":
-        pt = ec_host.aff_mul(self.curve, self.d, ec_host.aff_generator(self.curve))
-        return VerifyingKey(self.curve, pt)
+        # ct device comb — never the vartime host ladder — on the secret d
+        # (k256/src/arithmetic/mul.rs:424-439; DESIGN.md ct policy)
+        return VerifyingKey(self.curve, SM.derive_public(self.curve, self.d))
 
     def sign_prehash(self, digest: bytes):
         z = digest_to_z(self.curve, digest)

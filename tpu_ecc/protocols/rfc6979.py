@@ -64,13 +64,15 @@ def generate_k(q: int, x: int, h1: bytes, hashname: str = "sha256",
 
 def generate_k_batch(q: int, xs, h1s, hashname: str = "sha256",
                      extra: bytes = b"") -> list[int]:
-    """Batched deterministic k. Uses the native C++ kernel
-    (tpu_ecc/native/fastcrypt.cpp) when eligible — qlen == 256, SHA-256,
-    no extra data, 32-byte digests — else the Python loop above."""
-    if hashname == "sha256" and not extra and q.bit_length() == 256:
-        from ..native import rfc6979_k_sha256_batch
+    """Batched deterministic k. Uses the native C++ kernels
+    (tpu_ecc/native/fastcrypt.cpp) when eligible — qlen == 256, SHA-256 or
+    SM3, no extra data, 32-byte digests — else the Python loop above."""
+    if hashname in ("sha256", "sm3") and not extra and q.bit_length() == 256:
+        from .. import native
 
-        ks = rfc6979_k_sha256_batch(q, xs, list(h1s))
+        fn = (native.rfc6979_k_sha256_batch if hashname == "sha256"
+              else native.rfc6979_k_sm3_batch)
+        ks = fn(q, xs, list(h1s))
         if ks is not None:
             return ks
     return [generate_k(q, x, h1, hashname, extra) for x, h1 in zip(xs, h1s)]

@@ -17,15 +17,37 @@ import numpy as np
 
 from ..curves.specs import CurveSpec, get_curve
 from ..utils import ec_host
-from ..utils.bigint import int_to_be_bytes, be_bytes_to_int, limbs_np_to_ints
+from ..utils.bigint import int_to_be_bytes, be_bytes_to_int
 from ..ops import fe as F
 from ..ops import points as P
 from ..ops import scalarmul as SM
+from .pipeline import run_pipelined as _run_pipelined
 
 
 def tagged_hash(tag: str, data: bytes) -> bytes:
     th = hashlib.sha256(tag.encode()).digest()
     return hashlib.sha256(th + th + data).digest()
+
+
+@functools.lru_cache(maxsize=None)
+def _tag_prefix(tag: str) -> bytes:
+    th = hashlib.sha256(tag.encode()).digest()
+    return th + th
+
+
+def tagged_hash_batch(tag: str, datas) -> list:
+    """Batched BIP340 tagged hashes: tagged(m) = SHA256(th||th||m), so a
+    uniform-length batch rides the native C++ sha256_batch kernel
+    (tpu_ecc/native/fastcrypt.cpp); anything else falls back per message."""
+    pre = _tag_prefix(tag)
+    msgs = [pre + d for d in datas]
+    if len(msgs) > 1 and len({len(m) for m in msgs}) == 1:
+        from ..native import sha256_batch
+
+        out = sha256_batch(msgs, len(msgs[0]))
+        if out is not None:
+            return out
+    return [hashlib.sha256(m).digest() for m in msgs]
 
 
 def lift_x(curve: CurveSpec, x: int):
@@ -42,19 +64,22 @@ def lift_x(curve: CurveSpec, x: int):
 
 @functools.lru_cache(maxsize=None)
 def _sign_core(curve: CurveSpec):
-    nwf = (curve.field.bits + 31) // 32
+    """R = k*G -> x(R) words | y-parity. Word-packed IO both ways (one H2D
+    + one D2H transfer per chunk; protocols/pipeline.py)."""
+    s = curve.scalar
+    nws = (s.bits + 31) // 32
 
     @jax.jit
-    def core(k_raw):
+    def core(buf):
+        k_raw = F.relimb(buf[:nws], 32, s.limb_bits, s.n_limbs)
         R = SM.mul_by_generator(curve, k_raw)
         x, y, _ = P.to_affine(R)
         xw = F.fe_to_words(x)
         yr = F.fto_raw_canonical(y)
         y_odd = yr[0] & np.uint32(1)
-        # one packed output = one D2H fetch (~30ms/round-trip tunnel)
         return jnp.concatenate([xw, y_odd[None]], axis=0)
 
-    return core, nwf
+    return core
 
 
 @functools.lru_cache(maxsize=None)
@@ -99,93 +124,114 @@ def _verify_core(curve: CurveSpec):
     return core
 
 
-@functools.lru_cache(maxsize=None)
-def _pubkey_core(curve: CurveSpec):
-    """Batched x-only public keys: d -> x(dG) words | y-parity (one buffer
-    = one D2H fetch)."""
-    @jax.jit
-    def core(d_raw):
-        Pt = SM.mul_by_generator(curve, d_raw)
-        x, y, _ = P.to_affine(Pt)
-        yr = F.fto_raw_canonical(y)
-        return jnp.concatenate(
-            [F.fe_to_words(x), (yr[0] & np.uint32(1))[None]], axis=0)
-
-    return core
+# x-only public keys share the sign core: both are d/k words -> x(·G) | parity
+_pubkey_core = _sign_core
 
 
-def sign_batch(curve: CurveSpec, d_ints, msgs, aux_rands):
-    """Batched BIP340 sign. Returns list of 64-byte signatures.
-
-    Both scalar-muls run batched on device: the public keys dG in one
-    mul_by_generator call, then (after the host nonce hashing, which needs
-    the x bytes) R = kG in another."""
-    n, fb = curve.n, curve.field_bytes
-    pk = np.asarray(_pubkey_core(curve)(SM.pack_scalars(curve, d_ints)))
+def xonly_public_keys(curve: CurveSpec, d_ints, chunk=None) -> list:
+    """Batched x-only public keys x(dG) (ct device comb, chunk-pipelined)."""
+    sc = curve.scalar
     nwf = (curve.field.bits + 31) // 32
+    pk = _run_pipelined(
+        _pubkey_core(curve),
+        lambda sl: F.words_from_ints(list(d_ints[sl]), sc.bits),
+        len(d_ints), chunk, pad_col=F.words_from_ints([1], sc.bits))
+    return F.ints_from_words(pk[:nwf])
+
+
+def sign_batch(curve: CurveSpec, d_ints, msgs, aux_rands, chunk=None):
+    """Batched BIP340 sign. Returns a list of 64-byte signatures, with None
+    in any lane whose derived nonce was zero — BIP340's "fail this signing
+    attempt" per call (k256/src/schnorr/signing.rs errors per signature;
+    probability 2^-256, reachable only adversarially).
+
+    Both scalar-muls run chunk-pipelined on device (protocols/pipeline.py):
+    the public keys dG, then — after the host nonce hashing, batched through
+    the native SHA-256 kernel — R = kG."""
+    n, fb = curve.n, curve.field_bytes
+    B = len(d_ints)
+    sc = curve.scalar
+    nwf = (curve.field.bits + 31) // 32
+    core = _sign_core(curve)
+    pad = F.words_from_ints([1], sc.bits)
+    pk = _run_pipelined(
+        core, lambda sl: F.words_from_ints(list(d_ints[sl]), sc.bits),
+        B, chunk, pad_col=pad)
     px_ints = F.ints_from_words(pk[:nwf])
     py_odd = pk[nwf]
-    d_adj, pxs, ks = [], [], []
-    for i, (d, msg, aux) in enumerate(zip(d_ints, msgs, aux_rands)):
-        dd = n - d if py_odd[i] else d
-        px = int_to_be_bytes(px_ints[i], fb)
-        t = dd ^ be_bytes_to_int(tagged_hash("BIP0340/aux", aux))
-        rand = tagged_hash("BIP0340/nonce",
-                           int_to_be_bytes(t, 32) + px + msg)
-        k = be_bytes_to_int(rand) % n
-        assert k != 0
-        d_adj.append(dd)
-        pxs.append(px)
-        ks.append(k)
-    # R = k*G batched on device; flip k for odd-y R
-    k_raw = SM.pack_scalars(curve, ks)
-    core, nwf = _sign_core(curve)
-    packed = np.asarray(core(k_raw))            # ONE D2H fetch
+    # host nonce derivation (BIP340: aux + nonce tagged hashes), batched
+    d_adj = [n - d if py_odd[i] else d for i, d in enumerate(d_ints)]
+    pxs = [int_to_be_bytes(x, fb) for x in px_ints]
+    aux_h = tagged_hash_batch("BIP0340/aux", list(aux_rands))
+    rand = tagged_hash_batch("BIP0340/nonce", [
+        int_to_be_bytes(dd ^ be_bytes_to_int(ah), 32) + px + m
+        for dd, ah, px, m in zip(d_adj, aux_h, pxs, msgs)])
+    ks = [be_bytes_to_int(r) % n for r in rand]
+    k_bad = [k == 0 for k in ks]                 # per-lane, not batch-wide
+    ks = [1 if b else k for k, b in zip(ks, k_bad)]
+    # R = k*G pipelined; flip k for odd-y R
+    packed = _run_pipelined(
+        core, lambda sl: F.words_from_ints(ks[sl], sc.bits),
+        B, chunk, pad_col=pad)
     rxs = F.ints_from_words(packed[:nwf])
     y_odd = packed[nwf]
+    rbs = [int_to_be_bytes(x, fb) for x in rxs]
+    es = tagged_hash_batch("BIP0340/challenge", [
+        rb + px + m for rb, px, m in zip(rbs, pxs, msgs)])
     sigs = []
-    es, kk = [], []
-    for i, (dd, px, k) in enumerate(zip(d_adj, pxs, ks)):
+    for i, (dd, k, rb, eh) in enumerate(zip(d_adj, ks, rbs, es)):
+        if k_bad[i]:
+            sigs.append(None)
+            continue
         kf = n - k if y_odd[i] else k
-        rb = int_to_be_bytes(rxs[i], fb)
-        e = be_bytes_to_int(tagged_hash("BIP0340/challenge",
-                                        rb + px + msgs[i])) % n
-        s = (kf + e * dd) % n
+        s = (kf + (be_bytes_to_int(eh) % n) * dd) % n
         sigs.append(rb + int_to_be_bytes(s, fb))
     return sigs
 
 
-def verify_batch(curve: CurveSpec, px_ints, msgs, sigs):
+def verify_batch(curve: CurveSpec, px_ints, msgs, sigs, chunk=None):
     """Batched BIP340 verify. Returns list[bool]. The host does only range
     checks, hashing and word packing; the x-only decompress (lift_x) and all
-    group algebra run batched on device."""
+    group algebra run batched on device, chunk-pipelined for big batches."""
     n, p, fb = curve.n, curve.p, curve.field_bytes
-    pre_ok, xs, ss, nes, rs = [], [], [], [], []
-    for px, msg, sig in zip(px_ints, msgs, sigs):
-        ok = len(sig) == 2 * fb and 0 < px < p
-        r = be_bytes_to_int(sig[:fb]) if ok else 1
-        s = be_bytes_to_int(sig[fb:]) if ok else 1
-        ok = ok and r < p and s < n
-        if ok:
-            e = be_bytes_to_int(tagged_hash(
-                "BIP0340/challenge",
-                sig[:fb] + int_to_be_bytes(px, fb) + msg)) % n
-        else:
-            px, r, s, e = curve.gx, 1, 1, 0
-        pre_ok.append(ok)
-        xs.append(px)
-        ss.append(s)
-        nes.append((n - e) % n)
-        rs.append(r)
     f, sc = curve.field, curve.scalar
-    buf = np.concatenate([
-        F.words_from_ints(xs, f.bits),
-        F.words_from_ints(rs, f.bits),
-        F.words_from_ints(ss, sc.bits),
-        F.words_from_ints(nes, sc.bits),
+    pre_ok = []
+
+    def prep(sl):
+        xs, ss, nes, rs = [], [], [], []
+        chall = tagged_hash_batch("BIP0340/challenge", [
+            (sig[:fb] if len(sig) == 2 * fb else b"\x00" * fb)
+            + int_to_be_bytes(px % p, fb) + m
+            for px, m, sig in zip(px_ints[sl], msgs[sl], sigs[sl])])
+        for px, sig, eh in zip(px_ints[sl], sigs[sl], chall):
+            ok = len(sig) == 2 * fb and 0 < px < p
+            r = be_bytes_to_int(sig[:fb]) if ok else 1
+            s = be_bytes_to_int(sig[fb:]) if ok else 1
+            ok = ok and r < p and s < n
+            e = be_bytes_to_int(eh) % n if ok else 0
+            if not ok:
+                px, r, s = curve.gx, 1, 1
+            pre_ok.append(ok)
+            xs.append(px)
+            ss.append(s)
+            nes.append((n - e) % n)
+            rs.append(r)
+        return np.concatenate([
+            F.words_from_ints(xs, f.bits),
+            F.words_from_ints(rs, f.bits),
+            F.words_from_ints(ss, sc.bits),
+            F.words_from_ints(nes, sc.bits),
+        ], axis=0)
+
+    pad = np.concatenate([
+        F.words_from_ints([curve.gx], f.bits),
+        F.words_from_ints([1], f.bits),
+        F.words_from_ints([1], sc.bits),
+        F.words_from_ints([0], sc.bits),
     ], axis=0)
-    ok = np.asarray(_verify_core(curve)(jnp.asarray(buf)))
-    return [bool(a and b) for a, b in zip(pre_ok, ok)]
+    raw = _run_pipelined(_verify_core(curve), prep, len(sigs), chunk,
+                         pad_col=pad)
+    return [bool(a and b) for a, b in zip(pre_ok, raw[0])]
 
 
 # ---------------------------------------------------------------------------
@@ -206,11 +252,14 @@ class SigningKey:
         return cls(c, d)
 
     def verifying_key(self) -> "VerifyingKey":
-        pt = ec_host.aff_mul(self.curve, self.d, ec_host.aff_generator(self.curve))
+        # ct device comb on the secret d (DESIGN.md ct policy)
+        pt = SM.derive_public(self.curve, self.d)
         return VerifyingKey(self.curve, pt[0])
 
     def sign_with_aux_rand(self, msg: bytes, aux: bytes) -> bytes:
         (sig,) = sign_batch(self.curve, [self.d], [msg], [aux])
+        if sig is None:   # k == 0: BIP340 "fail this signing attempt"
+            raise ValueError("derived nonce is zero; retry with fresh aux")
         return sig
 
     def sign(self, msg: bytes) -> bytes:

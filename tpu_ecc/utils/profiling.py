@@ -87,5 +87,9 @@ def time_fn(fn, *args, iters: int = 16, chain=None, block=None, reps: int = 3,
         # few ms vs multi-ms tunnel jitter). Lengthen the chain so real
         # work dominates the jitter instead of clamping to a bogus rate.
         iters *= 4
-    per_call = max(diff, 1e-9) / iters
+    # retries exhausted: every attempt was stall-corrupted. Return inf
+    # seconds (rate -> 0.0, visibly bogus-LOW) with empty tries so the
+    # caller's record marks the row unreliable — the former 1e-9 clamp
+    # fabricated a ~1e15/s rate that nothing could flag (ADVICE r4).
+    per_call = float("inf")
     return (per_call, []) if return_tries else per_call
