@@ -178,7 +178,11 @@ def headline(curve, B=8192, repeat=16, iters=64):
     return best
 
 
-def bench_field(curve, B=8192, iters=32):
+def bench_field(curve, B=8192, iters=128):
+    """iters=128: the mul/square chains must be long enough that the
+    multi-ms tunnel jitter is small against the timed window — r4's
+    iters=32 windows (~8 ms) recorded spread as low as 0.16 on these rows
+    (VERDICT r4 weak 4); 128 puts ~30 ms of real work in the window."""
     import jax
     from tpu_ecc.ops import fe as F
     from tpu_ecc.utils.profiling import time_fn
@@ -220,9 +224,10 @@ def bench_field(curve, B=8192, iters=32):
             os.environ["TPU_ECC_KERNELS"] = kern_env
 
 
-def bench_scalar_field(curve, B=8192, iters=32):
+def bench_scalar_field(curve, B=8192, iters=128):
     """Scalar-field (group order) op rows — the reference benches scalar ops
-    separately (k256/benches/scalar.rs:32-39): mul, invert, negate."""
+    separately (k256/benches/scalar.rs:32-39): mul, invert, negate.
+    iters=128 for the fast ops: see bench_field."""
     import jax
     from tpu_ecc.ops import fe as F
     from tpu_ecc.utils.profiling import time_fn

@@ -214,6 +214,124 @@ def main():
             print("    mxu correctness OK (64 host cross-checks)")
             timeit("fmul MXU-mont XLA", jmxu, a.limbs, bb.limbs)
 
+        # 4) round-5 stretch (VERDICT r4 item 9): the int8-plane chain FUSED
+        # IN-KERNEL — conv+carry on the VPU in KFE limb-tile form, the two
+        # Montgomery matmuls per step on the MXU, operands never leaving
+        # VMEM between chain steps. The open question from r3: does keeping
+        # the chain in VMEM recover the 4x the separated XLA variant lost?
+        if spec.kind == "mont":
+            try:
+                t_f = bench_mxu_kernel_chain(spec, a, bb, vals, B, timeit)
+                print(f"    (per chained mul: {t_f/16*1e6:.1f} us, "
+                      f"{16*B/t_f:.3e} muls/s)")
+            except Exception as e:
+                print(f"  fmul MXU-in-kernel chain: DOES NOT BUILD "
+                      f"({type(e).__name__}: {str(e)[:200]})")
+
+
+def bench_mxu_kernel_chain(spec, a, bb, vals, B, timeit, chain=16):
+    """One Pallas kernel running a `chain`-long Montgomery-mul chain where
+    each step is VPU conv + carry (KFE list form) and an int8-plane MXU
+    reduction (4 dot_generals per const-conv), intermediates in VMEM."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from tpu_ecc.utils.bigint import int_to_limbs, limbs_np_to_ints
+
+    b, n, mask = spec.limb_bits, spec.n_limbs, spec.mask
+    R = 1 << (b * n)
+    nprime = (R - pow(spec.p, -1, R)) % R
+    M_lo_np, M_hi_np = [x for x in _planes_np(_toeplitz(
+        int_to_limbs(nprime, n, b), n, n))]
+    P_lo_np, P_hi_np = [x for x in _planes_np(_toeplitz(
+        int_to_limbs(spec.p, n, b), 2 * n, n))]
+    S = 8
+    rows = B // 128
+
+    def body(a_ref, b_ref, ml_ref, mh_ref, plo_ref, phi_ref, o_ref):
+        xs = [a_ref[i, :, :] for i in range(n)]
+        ys = [b_ref[i, :, :] for i in range(n)]
+
+        def carry_list(cols, count):
+            out, c = [], None
+            for j in range(count):
+                t = cols[j] if c is None else cols[j] + c
+                out.append(t & np.uint32(mask))
+                c = t >> np.uint32(b)
+            return out
+
+        def const_conv(Clo, Chi, dlist, out_rows):
+            # stack digit tiles [k][S,128] -> [k, S, 128] int8 planes and
+            # contract the limb axis on the MXU (4 plane matmuls)
+            d = jnp.stack(dlist)                       # [k, S, 128] uint32
+            dlo = (d & np.uint32(127)).astype(jnp.int8)
+            dhi = (d >> np.uint32(7)).astype(jnp.int8)
+
+            def mm(A, x):
+                return jax.lax.dot_general(
+                    A, x, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+
+            p00 = mm(Clo, dlo)
+            p01 = mm(Clo, dhi)
+            p10 = mm(Chi, dlo)
+            p11 = mm(Chi, dhi)
+            u = (p00 + ((p01 + p10) << 7) + (p11 << 14)).astype(jnp.uint32)
+            return [u[i] for i in range(out_rows)]
+
+        Ml, Mh = ml_ref[...], mh_ref[...]
+        Pl, Ph = plo_ref[...], phi_ref[...]
+        for _ in range(chain):
+            cols = [None] * (2 * n)
+            for i in range(n):
+                for j in range(n):
+                    pr = xs[i] * ys[j]
+                    k = i + j
+                    cols[k] = pr if cols[k] is None else cols[k] + pr
+            cols[2 * n - 1] = jnp.zeros_like(xs[0])
+            T = carry_list(cols, 2 * n)
+            m = const_conv(Ml, Mh, T[:n], n)
+            m = carry_list(m, n)
+            u = const_conv(Pl, Ph, m, 2 * n)
+            u = [ui + ti for ui, ti in zip(u, T)]
+            u = carry_list(u, 2 * n)
+            xs = u[n:]
+        for i in range(n):
+            o_ref[i, :, :] = xs[i]
+
+    sp = pl.BlockSpec((n, S, 128), lambda i: (0, i, 0),
+                      memory_space=pltpu.VMEM)
+    cl = lambda r: pl.BlockSpec((r, n), lambda i: (0, 0),  # noqa: E731
+                                memory_space=pltpu.VMEM)
+    kern = pl.pallas_call(
+        body, out_shape=jax.ShapeDtypeStruct((n, rows, 128), jnp.uint32),
+        grid=(rows // S,),
+        in_specs=[sp, sp, cl(n), cl(n), cl(2 * n), cl(2 * n)],
+        out_specs=sp)
+    consts = [jnp.asarray(x) for x in (M_lo_np, M_hi_np, P_lo_np, P_hi_np)]
+    fused = jax.jit(lambda u, v: kern(
+        u.reshape(n, rows, 128), v.reshape(n, rows, 128),
+        *consts).reshape(n, B))
+    # correctness: chain of 16 Montgomery muls vs host ints
+    got = limbs_np_to_ints(np.asarray(fused(a.limbs, bb.limbs))[:, :8], b)
+    rinv = pow(R, -1, spec.p)
+    for i in range(8):
+        xe = spec.encode_int(vals[i])
+        ye = spec.encode_int(vals[B - 1 - i])
+        want = xe
+        for _ in range(chain):
+            want = (want * ye * rinv) % spec.p
+        assert got[i] % spec.p == want, ("mxu kernel chain", i)
+    print("    mxu-in-kernel correctness OK (8 host cross-checks)")
+    return timeit("fmul MXU-in-kernel", fused, a.limbs, bb.limbs, iters=6)
+
+
+def _planes_np(mat):
+    lo = (mat & 127).astype(np.int8)
+    hi = (mat >> 7).astype(np.int8)
+    return lo, hi
+
 
 if __name__ == "__main__":
     main()
