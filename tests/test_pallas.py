@@ -113,7 +113,7 @@ def test_kernel_mixed_formulas(name, rng):
         assert (gx[i], gy[i]) == H.aff_mul(c, ks[i] + 1, H.aff_generator(c))
 
 
-@pytest.mark.slow
+@pytest.mark.interpret
 @pytest.mark.parametrize("name,B", [("secp256k1", 128), ("p256", 384)])
 def test_pow_kernel_interpret(name, B, rng):
     """Compiled-path pow_call (the fused Fermat/sqrt chain kernel, default-on
@@ -138,7 +138,7 @@ def test_pow_kernel_interpret(name, B, rng):
     assert got == [pow(v, e, s.p) for v in vals]
 
 
-@pytest.mark.slow
+@pytest.mark.interpret
 @pytest.mark.parametrize("name", ["secp256k1", "p256", "bp256r1"])
 def test_genmul_kernel_interpret(name, rng):
     """Compiled-path genmul_call in interpret mode, truncated to 4 windows
@@ -177,7 +177,7 @@ def test_genmul_kernel_interpret(name, rng):
             assert (xi[b], yi[b]) == exp
 
 
-@pytest.mark.slow
+@pytest.mark.interpret
 def test_glv_ladder_kernel_interpret(rng):
     """Compiled-path ladder_call(glv=True) in interpret mode, truncated to
     short scalars, vs the host oracle: exercises the shared-table
