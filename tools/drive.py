@@ -145,7 +145,34 @@ def main():
                  scalar_bits=16, signed=True) == want
     ok("MSM straus/pippenger/signed == host oracle")
 
-    print(f"\nDRIVE GREEN: {len(PASS)}/10 surfaces")
+    # 11. (round 5) message-level batched ECDSA — the native sha256 batch
+    # on the hot path — and the ct device-comb pubkey derivation
+    from tpu_ecc.ops import scalarmul as SM
+    c = get_curve("secp256k1")
+    ds = [rng.randrange(1, c.n) for _ in range(4)]
+    msgs = [b"drive msg %d" % i for i in range(4)]
+    pubs = SM.derive_public_batch(c, ds)
+    assert pubs == [H.aff_mul(c, d, H.aff_generator(c)) for d in ds]
+    sigs = ecdsa.sign_batch_msgs(c, ds, msgs)
+    rs = [(r, s) for (r, s, _) in sigs]
+    assert ecdsa.verify_batch_msgs(c, pubs, msgs, rs) == [True] * 4
+    assert ecdsa.verify_batch_msgs(c, pubs, [msgs[0] + b"!"] + msgs[1:],
+                                   rs) == [False] + [True] * 3
+    ok("message-level batched ECDSA (native hashing) + ct pubkey derivation")
+
+    # 12. (round 5) bign-DSA end-to-end through the native BelT kernels
+    from tpu_ecc.protocols import bign
+    cb = get_curve("bign256")
+    dsb = [rng.randrange(1, cb.n) for _ in range(3)]
+    msgsb = [b"bign %d" % i for i in range(3)]
+    sigsb = bign.sign_batch(cb, dsb, msgsb)
+    pubsb = [bign.SigningKey(cb, d).verifying_key().point for d in dsb]
+    assert bign.verify_batch(cb, pubsb, msgsb, sigsb) == [True] * 3
+    bad = bytes([sigsb[0][0] ^ 1]) + sigsb[0][1:]
+    assert bign.verify_batch(cb, pubsb[:1], msgsb[:1], [bad]) == [False]
+    ok("bign-DSA sign/verify via native BelT + tamper reject")
+
+    print(f"\nDRIVE GREEN: {len(PASS)}/12 surfaces")
 
 
 if __name__ == "__main__":
